@@ -1,0 +1,185 @@
+"""`discover` command: find new variants against the personalised
+reference and rebase them into base-reference coordinates.
+
+Parity: gramtools/commands/discover/discover.py. The external variant
+caller (py-cortex-api in the reference) is pluggable: if the `cortex`
+module is absent, a pre-computed VCF may be supplied via
+`args.discov_vcf` (used by tests and alternative callers).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from typing import Dict, List
+
+from ..common.seq import load_fasta
+from ..common.vcf import VcfRecord, parse_vcf, write_vcf_file
+from . import report
+from .paths import DiscoverPaths
+from .seq_region_map import (
+    BisectTarget,
+    SearchableSeqRegionsMap,
+    SeqRegionMapper,
+)
+
+log = logging.getLogger("gramtools_tpu")
+
+
+def run(args):
+    log.info("Start process: discover")
+    disco_paths = DiscoverPaths(args.discovery_dir, args.genotype_dir, args.force)
+    disco_paths.setup()
+
+    enforce_genotyping_was_haploid(disco_paths)
+
+    discov_vcf = getattr(args, "discov_vcf", None)
+    if discov_vcf is not None:
+        shutil.copyfile(discov_vcf, disco_paths.discov_vcf)
+    else:
+        _run_cortex(disco_paths, args)
+
+    rebased = rebase_vcf(disco_paths)
+    _dump_rebased_vcf(rebased, disco_paths)
+    log.info("Found %d variants. Final vcf in %s", len(rebased),
+             disco_paths.final_vcf)
+    log.info("End process: discover.")
+
+
+def _run_cortex(disco_paths, args):
+    try:
+        import cortex.calls as cortex
+    except ModuleNotFoundError:
+        raise SystemExit(
+            "Cannot run discovery: missing cortex variant caller "
+            "(py-cortex-api). Alternatively pass a pre-computed VCF of "
+            "variants against the personalised reference.")
+    cortex_args = {
+        "reference_fasta": disco_paths.pers_ref,
+        "reads_files": disco_paths.reads_files,
+        "output_vcf_file_path": disco_paths.discov_vcf,
+    }
+    if hasattr(args, "mem_height"):
+        cortex_args["mem_height"] = args.mem_height
+    cortex.run(**cortex_args)
+
+
+def enforce_genotyping_was_haploid(disco_paths):
+    with open(disco_paths.geno_report) as f_in:
+        genotype_report = json.load(f_in)
+    if genotype_report["ploidy"] != "haploid":
+        raise SystemExit(
+            "Discover currently supports haploid genotyping only; genotype "
+            f"ran in {genotype_report['ploidy']} mode.")
+
+
+def check_ref_consistent(record: VcfRecord, inferred_sequence: str,
+                         unplaced: List[str]) -> bool:
+    """discover.py:250-262."""
+    pos = record.pos
+    if (len(inferred_sequence) < pos
+            or record.ref != inferred_sequence[pos - 1 : pos - 1 + len(record.ref)]):
+        unplaced.append(str(record))
+        return False
+    return True
+
+
+def rebase_vcf(disco_paths, check_records: bool = True) -> List[VcfRecord]:
+    """discover.py:67-114."""
+    inferred_refs = load_fasta(disco_paths.pers_ref) if check_records else {}
+    _, base_records = parse_vcf(disco_paths.geno_vcf)
+    _, derived_records = parse_vcf(disco_paths.discov_vcf)
+
+    chrom_sizes = _load_contig_sizes_from_vcf(disco_paths.geno_vcf)
+    region_map = SeqRegionMapper(base_records, chrom_sizes).get_map()
+    region_searcher = SearchableSeqRegionsMap(region_map)
+
+    unplaced: List[str] = []
+    out: List[VcfRecord] = []
+    for record in derived_records:
+        if check_records and not check_ref_consistent(
+                record, inferred_refs[record.chrom], unplaced):
+            continue
+        out.append(rebase_vcf_record(record, record.chrom, region_searcher))
+    if check_records and unplaced:
+        log.warning(
+            "%d new variant records were skipped, because record pos and ref "
+            "do not coincide with personalised reference", len(unplaced))
+    return out
+
+
+def rebase_vcf_record(record: VcfRecord, chrom: str,
+                      region_searcher: SearchableSeqRegionsMap) -> VcfRecord:
+    """Coordinate/sequence rebasing algebra (discover.py:132-198)."""
+    cur_region_index = region_searcher.bisect(chrom, record.pos,
+                                              BisectTarget.PERS_REF)
+    cur_region = region_searcher.get_region(chrom, cur_region_index)
+
+    new_ref_seq = ""
+    new_alt_seq = record.alts[0]
+    cur_pers_ref_pos = record.pos
+    pers_ref_end_pos = cur_pers_ref_pos + len(record.ref) - 1
+    new_pos = cur_region.base_ref_start
+
+    num_bases_past_first_region = cur_pers_ref_pos - cur_region.pers_ref_start
+    if num_bases_past_first_region > 0:
+        if cur_region.is_variant_region:
+            new_alt_seq = (cur_region.vcf_record_alt[:num_bases_past_first_region]
+                           + new_alt_seq)
+        else:
+            new_pos += num_bases_past_first_region
+
+    while cur_pers_ref_pos <= pers_ref_end_pos:
+        cur_region = region_searcher.get_region(chrom, cur_region_index)
+        cur_region_end = cur_region.pers_ref_start + cur_region.length - 1
+        num_bases_past_last_region = max(cur_region_end - pers_ref_end_pos, 0)
+        if cur_region.is_variant_region:
+            new_ref_seq += cur_region.vcf_record_ref
+        else:
+            start_offset = cur_pers_ref_pos - record.pos
+            end_offset = cur_region_end - record.pos - num_bases_past_last_region
+            new_ref_seq += record.ref[start_offset : end_offset + 1]
+        if num_bases_past_last_region > 0 and cur_region.is_variant_region:
+            offset = cur_region.length - num_bases_past_last_region
+            new_alt_seq = new_alt_seq + cur_region.vcf_record_alt[offset:]
+        cur_pers_ref_pos = cur_region_end + 1
+        cur_region_index += 1
+
+    from dataclasses import replace
+    return replace(record, pos=new_pos, ref=new_ref_seq, alts=(new_alt_seq,))
+
+
+def _load_contig_sizes_from_vcf(vcf_fname) -> Dict[str, int]:
+    headers, _ = parse_vcf(vcf_fname)
+    result: Dict[str, int] = {}
+    for line in headers:
+        if line.startswith("##contig=<"):
+            body = line[len("##contig=<"):].rstrip(">")
+            attrs = dict(part.split("=", 1) for part in _split_header(body))
+            if "ID" in attrs and "length" in attrs:
+                result[attrs["ID"]] = int(attrs["length"])
+    if not result:
+        raise ValueError(f"{vcf_fname} does not have 'contig' lines giving "
+                         "contig sizes")
+    return result
+
+
+def _split_header(body: str) -> List[str]:
+    """Split on commas outside quotes."""
+    parts, cur, in_quotes = [], "", False
+    for c in body:
+        if c == '"':
+            in_quotes = not in_quotes
+        if c == "," and not in_quotes:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += c
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def _dump_rebased_vcf(records: List[VcfRecord], disco_paths):
+    headers, _ = parse_vcf(disco_paths.discov_vcf)
+    write_vcf_file(disco_paths.final_vcf, headers, records)
