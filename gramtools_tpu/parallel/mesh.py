@@ -1,0 +1,109 @@
+"""Multi-chip data parallelism: reads sharded over a device mesh,
+coverage merged with psum.
+
+The reference's scaling story is OpenMP threads over a 5,000-read buffer
+with atomic coverage updates (quasimap.cpp:90-117, §2.3 of SURVEY). The
+TPU-native equivalent: the vBWT index is replicated across the mesh,
+read batches are sharded over the 'data' axis with shard_map, each shard
+runs the same fixed-shape search scan, and the dense per-site coverage
+accumulators are all-reduced with psum over ICI -- no locks, no atomics.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..mapping.search_jax import (
+    MAX_PATH,
+    MAX_STATES,
+    DeviceIndex,
+    _build_search_step,
+    empty_carry,
+)
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def make_sharded_quasimap(mesh: Mesh, di: DeviceIndex, num_sites: int,
+                          max_alleles: int):
+    """Returns a jitted step: (reads_T, carry) -> (final_carry, coverage).
+
+    reads_T (steps, R) and carry are sharded over rows (R) on the 'data'
+    axis; the returned allele-sum-style coverage (num_sites, max_alleles)
+    is psum-reduced across the mesh, so every host sees the global
+    accumulation -- the analogue of the reference's shared-memory
+    atomic-add coverage, as one collective.
+    """
+    step = _build_search_step(di)
+
+    def shard_fn(reads_T, carry):
+        final_carry, _ = jax.lax.scan(step, carry, reads_T)
+        lo, hi, valid, trav, n_trav, ing, n_ing, overflow = final_carry
+
+        # dense per-(site, allele) coverage from the traversed loci of all
+        # valid final states (device-side accumulate; the exact
+        # RNG-selected recording runs on host -- this array drives the
+        # scaling path and read-depth screens)
+        site_idx = (trav[..., 0] - 5) // 2                     # (R,S,P)
+        allele_idx = trav[..., 1]
+        in_path = (jnp.arange(MAX_PATH)[None, None, :]
+                   < n_trav[:, :, None]) & valid[:, :, None]
+        flat = jnp.where(in_path,
+                         site_idx * max_alleles + jnp.clip(allele_idx, 0),
+                         num_sites * max_alleles)
+        cov = jnp.zeros(num_sites * max_alleles + 1, dtype=jnp.int32)
+        cov = cov.at[flat.reshape(-1)].add(1)
+        cov = cov[:-1].reshape(num_sites, max_alleles)
+        cov = jax.lax.psum(cov, axis_name="data")
+        return final_carry, cov
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, "data"), (P("data"),) * 7 + (P("data"),)),
+        out_specs=((P("data"),) * 7 + (P("data"),), P(None, None)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def run_sharded_quasimap(mesh: Mesh, di: DeviceIndex, reads: "list[np.ndarray]",
+                         num_sites: int, max_alleles: int,
+                         kmer_size: int = 0):
+    """Full-read (seedless) sharded mapping of a batch of same-length
+    reads; returns (final_carry, global_coverage). Row count is padded
+    to a multiple of the mesh size."""
+    n_dev = mesh.devices.size
+    R = len(reads)
+    R_pad = ((R + n_dev - 1) // n_dev) * n_dev
+    max_len = max(r.size for r in reads)
+    steps = max_len - 1
+    reads_T = np.zeros((steps, R_pad), dtype=np.int32)
+    carry = empty_carry(R_pad)
+    lo, hi, valid = carry[0], carry[1], carry[2]
+    # seed each row with the full SA interval extended by its last base
+    # (host-side: one LF step), remaining bases stream through the scan
+    occ = np.asarray(di.occ)
+    sym_start = np.asarray(di.sym_start)
+    for row, read in enumerate(reads):
+        base = int(read[-1])
+        first = sym_start[base]
+        lo[row, 0] = first
+        hi[row, 0] = first + occ[di.size, base - 1] - 1
+        valid[row, 0] = lo[row, 0] <= hi[row, 0]
+        body = read[:-1][::-1]
+        reads_T[: body.size, row] = body
+
+    fn = make_sharded_quasimap(mesh, di, num_sites, max_alleles)
+    return fn(jnp.asarray(reads_T), jax.device_put(carry))

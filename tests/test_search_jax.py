@@ -1,0 +1,106 @@
+"""Batched JAX search engine vs host reference engine: equivalence tests.
+
+The host engine (mapping/search.py) is validated against the reference
+fixtures (test_quasimap_integration.py); here the device engine must
+produce identical coverage on those fixtures and identical SearchStates
+on randomised PRGs/reads.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gramtools_tpu.index.build import build_prg_index
+from gramtools_tpu.index.kmer_index import build_kmer_index
+from gramtools_tpu.mapping.quasimap import quasimap_reads
+from gramtools_tpu.mapping.search import search_read_backwards
+from gramtools_tpu.mapping.search_jax import BatchedSearchEngine
+from gramtools_tpu.prg.linearise import PrgString, prg_string_to_ints
+
+DATA_DIR = Path("/root/reference/gramtools/tests/integration_test_data")
+
+
+def random_prg(rng, num_sites=4, nested=False):
+    parts = []
+    for _ in range(num_sites):
+        parts.append("".join(rng.choice(list("ACGT"),
+                                        size=rng.randint(1, 6))))
+        n_alleles = rng.randint(2, 4)
+        alleles = []
+        for _ in range(n_alleles):
+            length = rng.randint(0 if nested else 1, 5)
+            alleles.append("".join(rng.choice(list("ACGT"), size=length)))
+        if nested and rng.rand() < 0.5 and len(alleles[0]) >= 2:
+            mid = len(alleles[0]) // 2
+            alleles[0] = (alleles[0][:mid] + "[A,C]" + alleles[0][mid:])
+        parts.append("[" + ",".join(alleles) + "]")
+    parts.append("".join(rng.choice(list("ACGT"), size=rng.randint(3, 8))))
+    return "".join(parts)
+
+
+def states_key(states):
+    return sorted((s.lo, s.hi, s.traversed, s.traversing) for s in states)
+
+
+@pytest.mark.parametrize("seed,nested", [(0, False), (1, False), (2, True),
+                                         (3, True), (4, True)])
+def test_batched_matches_host_random(seed, nested):
+    rng = np.random.RandomState(seed)
+    prg_str = random_prg(rng, nested=nested)
+    try:
+        prg = PrgString(prg_string_to_ints(prg_str))
+        idx = build_prg_index(prg)
+    except ValueError:
+        pytest.skip("randomly generated inconsistent PRG")
+    k = 3
+    kmer_index = build_kmer_index(idx, k)
+    engine = BatchedSearchEngine(idx, k)
+
+    # random reads: some sampled from the prg space, some random
+    reads = []
+    for _ in range(30):
+        length = rng.randint(k, 12)
+        reads.append(rng.randint(1, 5, size=length).astype(np.uint8))
+
+    class S:
+        all_reads_count = 0
+        skipped_reads_count = 0
+        missing_kmer_reads_count = 0
+        no_extension_reads_count = 0
+        exact_mapped_reads_count = 0
+
+    results = engine.search_buffer(reads, kmer_index, k, S())
+    # compare with host per read+orientation
+    from gramtools_tpu.common.seq import revcomp
+    from gramtools_tpu.mapping.quasimap import all_read_kmers_in_index
+    for i, read in enumerate(reads):
+        expected = []
+        for oriented in (read, revcomp(read)):
+            if not all_read_kmers_in_index(k, oriented, kmer_index):
+                continue
+            seed_states = kmer_index.get(
+                oriented[oriented.size - k:].astype(np.uint8).tobytes(), [])
+            states = (search_read_backwards(oriented, seed_states, k, idx)
+                      if seed_states else [])
+            expected.append((states, int(oriented.size)))
+        assert len(results[i]) == len(expected)
+        for (got_states, got_len), (exp_states, exp_len) in zip(results[i], expected):
+            assert got_len == exp_len
+            assert states_key(got_states) == states_key(exp_states)
+
+
+@pytest.mark.skipif(not DATA_DIR.exists(), reason="fixtures unavailable")
+@pytest.mark.parametrize("fixture,expected_grouped", [
+    ("IT1", [{(0,): 1, (1,): 1}, {(0,): 1, (1,): 1}]),
+    ("IT2", [{(0, 1): 1}, {(0, 1): 1}]),
+    ("IT3", [{(0,): 1, (0, 1): 1}, {(0,): 1}]),
+])
+def test_device_engine_integration_parity(fixture, expected_grouped):
+    prg = PrgString.from_file(DATA_DIR / fixture / "prg.bin")
+    idx = build_prg_index(prg)
+    kmer_index = build_kmer_index(idx, 5)
+    engine = BatchedSearchEngine(idx, 5)
+    stats, coverage = quasimap_reads(
+        [str(DATA_DIR / fixture / "reads.fastq")], kmer_index, idx, 5,
+        seed=42, engine=engine)
+    assert coverage.grouped_counts == expected_grouped
