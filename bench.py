@@ -1,0 +1,181 @@
+"""Benchmark: batched vBWT quasimap throughput on one TPU chip.
+
+Workload (BASELINE.md): an M. tuberculosis-scale genome graph (4.4Mb,
+SNP-dense -- 100k biallelic sites, the reference's primary production
+use case) with 150bp reads sampled from random haplotype paths. The
+metric is device-mapped reads/sec/chip through the batched search scan
+(search_jax): the exact per-base vBWT extension loop that dominates the
+reference's runtime (SURVEY.md §3.2 hot loops).
+
+vs_baseline: speedup over this package's host (scalar, reference-
+semantics) engine on the same workload -- the reference repo publishes
+no benchmark numbers (BASELINE.md), so the scalar engine is the
+recorded baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "4.4"))
+NUM_SITES = int(os.environ.get("BENCH_NUM_SITES", "100000"))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", "150"))
+KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
+HOST_READS = int(os.environ.get("BENCH_HOST_READS", "30"))
+
+
+def build_synthetic_mtb_graph(rng, genome_len, num_sites):
+    """Linear PRG: random genome with evenly spread biallelic SNPs."""
+    seq = rng.randint(1, 5, size=genome_len).astype(np.uint32)
+    positions = np.sort(rng.choice(np.arange(1, genome_len - 1), size=num_sites,
+                                   replace=False))
+    out = np.empty(genome_len + 4 * num_sites, dtype=np.uint32)
+    cursor = 0
+    prev = 0
+    for i, pos in enumerate(positions):
+        site = 5 + 2 * i
+        chunk = seq[prev:pos]
+        out[cursor : cursor + chunk.size] = chunk
+        cursor += chunk.size
+        ref_base = seq[pos]
+        alt_base = ref_base % 4 + 1
+        out[cursor : cursor + 5] = [site, ref_base, site + 1, alt_base, site + 1]
+        cursor += 5
+        prev = pos + 1
+    chunk = seq[prev:]
+    out[cursor : cursor + chunk.size] = chunk
+    cursor += chunk.size
+    return out[:cursor]
+
+
+def sample_reads(rng, prg_ints, n_reads, read_len):
+    """Reads from random haplotype paths (random allele at each site)."""
+    markers = prg_ints > 4
+    # haplotype: drop markers, pick ref or alt per site
+    is_site = (prg_ints > 4) & (prg_ints % 2 == 1)
+    # reconstruct per-position allele membership for biallelic SNP prg:
+    # layout ... site ref alt_marker alt alt_marker ...
+    site_pos = np.flatnonzero(is_site)
+    keep = ~markers
+    ref_mask = keep.copy()
+    alt_mask = keep.copy()
+    ref_mask[site_pos + 3] = False  # drop alt base from ref path
+    alt_mask[site_pos + 1] = False  # drop ref base from alt path
+    ref_path = prg_ints[ref_mask].astype(np.uint8)
+    alt_path = prg_ints[alt_mask].astype(np.uint8)
+    assert ref_path.size == alt_path.size
+    reads = np.empty((n_reads, read_len), dtype=np.uint8)
+    for i in range(n_reads):
+        path = ref_path if rng.rand() < 0.5 else alt_path
+        start = rng.randint(0, path.size - read_len)
+        reads[i] = path[start : start + read_len]
+    return reads
+
+
+def main():
+    t0 = time.time()
+    rng = np.random.RandomState(42)
+    genome_len = int(GENOME_MB * 1e6)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gramtools_tpu.index.fm import FMIndex
+    from gramtools_tpu.prg.graph import build_cov_graph
+    from gramtools_tpu.prg.linearise import PrgString
+    from gramtools_tpu.mapping.search import PrgIndex
+    from gramtools_tpu.mapping.search_jax import (
+        DeviceIndex, empty_carry, make_batched_search)
+
+    print(f"# building synthetic graph: {GENOME_MB}Mb, {NUM_SITES} sites",
+          file=sys.stderr)
+    prg_ints = build_synthetic_mtb_graph(rng, genome_len, NUM_SITES)
+    prg = PrgString(prg_ints)
+    graph = build_cov_graph(prg)
+    fm = FMIndex.build(prg_ints)
+    idx = PrgIndex(prg_ints, graph, fm, dict(prg.end_positions))
+    print(f"# index built in {time.time()-t0:.1f}s; fm size {fm.size}",
+          file=sys.stderr)
+
+    from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
+
+    t_k = time.time()
+    kmer_index = build_kmer_index_vectorised(idx, KMER_SIZE)
+    print(f"# kmer index k={KMER_SIZE}: {kmer_index.num_kmers()} kmers, "
+          f"{kmer_index.lo.size} states, {time.time()-t_k:.1f}s",
+          file=sys.stderr)
+
+    di = DeviceIndex.build(idx)
+    search = make_batched_search(di)
+
+    reads = sample_reads(rng, prg_ints, BATCH, READ_LEN)
+
+    import jax
+    import jax.numpy as jnp
+    from gramtools_tpu.mapping.search_jax import load_seed_states
+
+    def make_args(reads_arr):
+        """Kmer-seeded batch: seed frontier from the last-kmer index hit,
+        stream the remaining bases (the production mapping path)."""
+        R = reads_arr.shape[0]
+        k = KMER_SIZE
+        carry = empty_carry(R)
+        n_seeded = 0
+        reads_T = np.zeros((READ_LEN - k, R), dtype=np.int32)
+        for row in range(R):
+            seed_states = kmer_index.get(
+                reads_arr[row, READ_LEN - k:].tobytes())
+            if seed_states and load_seed_states(carry, row, seed_states):
+                n_seeded += 1
+                body = reads_arr[row, : READ_LEN - k][::-1]
+                reads_T[: body.size, row] = body
+        print(f"# {n_seeded}/{R} reads seeded from kmer index", file=sys.stderr)
+        return jnp.asarray(reads_T), jax.device_put(carry)
+
+    t_s = time.time()
+    reads_T, carry = make_args(reads)
+    seed_time = time.time() - t_s
+
+    # warmup + compile
+    out = search(reads_T, carry)
+    jax.block_until_ready(out)
+    n_mapped = int(np.asarray(out[2]).any(axis=1).sum())
+    n_overflow = int(np.asarray(out[7]).sum())
+    print(f"# warmup done; {n_mapped}/{BATCH} reads mapped, "
+          f"{n_overflow} overflowed", file=sys.stderr)
+
+    t1 = time.time()
+    for _ in range(BATCHES):
+        out = search(reads_T, carry)
+    jax.block_until_ready(out)
+    t2 = time.time()
+    device_rps = BATCH * BATCHES / (t2 - t1)
+    total_rps = BATCH * BATCHES / ((t2 - t1) + seed_time * BATCHES)
+    print(f"# device scan: {device_rps:.0f} reads/s; incl. host seeding: "
+          f"{total_rps:.0f} reads/s", file=sys.stderr)
+
+    # host scalar engine baseline on a subset (same seeding strategy)
+    from gramtools_tpu.mapping.search import search_read_backwards
+    t3 = time.time()
+    for i in range(HOST_READS):
+        seed_states = kmer_index.get(reads[i, READ_LEN - KMER_SIZE:].tobytes())
+        if seed_states:
+            search_read_backwards(reads[i], seed_states, KMER_SIZE, idx)
+    t4 = time.time()
+    host_rps = HOST_READS / (t4 - t3)
+    print(f"# host scalar: {host_rps:.1f} reads/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "quasimap_reads_per_sec_per_chip",
+        "value": round(device_rps, 1),
+        "unit": "reads/s (150bp, 4.4Mb SNP graph)",
+        "vs_baseline": round(device_rps / host_rps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

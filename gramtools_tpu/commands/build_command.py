@@ -92,5 +92,18 @@ def build_from_vcfs(build_report, action, build_paths, args):
 
 @report.with_report
 def execute_index_build(build_report, action, build_paths, args):
+    """Backend build phase (libgramtools src/build/build.cpp:8-72):
+    cov graph -> ref check -> FM-index + kmer index, with phase timing."""
+    from ..common.timers import TimerReport
+    from ..prg.check_ref import check_ref_against_graph
+    from ..prg.graph import build_cov_graph
+
+    timer = TimerReport()
     prg = PrgString.from_file(build_paths.prg)
-    build_all(prg, args.kmer_size, build_paths.gram_dir)
+    with timer.phase("Coverage graph"):
+        graph = build_cov_graph(prg)
+    with timer.phase("Reference check"):
+        check_ref_against_graph(args.reference, graph)
+    with timer.phase("Index build"):
+        build_all(prg, args.kmer_size, build_paths.gram_dir)
+    timer.report()

@@ -14,7 +14,7 @@ from ..mapping.search import PrgIndex
 from ..prg.graph import build_cov_graph
 from ..prg.linearise import PrgString
 from .fm import FMIndex
-from .kmer_index import build_kmer_index, load_kmer_index, save_kmer_index
+from .kmer_index_vec import ArrayKmerIndex, build_kmer_index_vectorised
 
 
 def build_prg_index(prg: PrgString) -> PrgIndex:
@@ -31,8 +31,8 @@ def build_all(prg: PrgString, kmer_size: int, gram_dir: str | Path):
     prg.write(gram_dir / "prg")
     idx = build_prg_index(prg)
     idx.fm.save(gram_dir / "fm_index.npz")
-    kmer_index = build_kmer_index(idx, kmer_size)
-    save_kmer_index(kmer_index, gram_dir / "kmer_index.npz", kmer_size)
+    kmer_index = build_kmer_index_vectorised(idx, kmer_size)
+    kmer_index.save(gram_dir / "kmer_index.npz")
     return idx, kmer_index
 
 
@@ -42,5 +42,5 @@ def load_all(gram_dir: str | Path):
     graph = build_cov_graph(prg)  # deterministic, fast: rebuilt on load
     fm = FMIndex.load(gram_dir / "fm_index.npz")
     idx = PrgIndex(prg.ints, graph, fm, dict(prg.end_positions))
-    kmer_index = load_kmer_index(gram_dir / "kmer_index.npz")
+    kmer_index = ArrayKmerIndex.load(gram_dir / "kmer_index.npz")
     return idx, kmer_index

@@ -40,6 +40,9 @@ def all_read_kmers_in_index(kmer_size: int, read: np.ndarray,
     """quasimap.cpp:212-225: exact mapping needs every read kmer indexed."""
     if read.size < kmer_size:
         return False
+    vec = getattr(kmer_index, "all_kmers_indexed", None)
+    if vec is not None:
+        return vec(read)
     data = read.astype(np.uint8).tobytes()
     for offset in range(read.size - kmer_size + 1):
         if data[offset : offset + kmer_size] not in kmer_index:

@@ -53,7 +53,10 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass
 class DeviceIndex:
-    """PrgIndex arrays staged for device kernels."""
+    """PrgIndex arrays staged for device kernels.
+
+    Registered as a pytree (int metadata static) so it is passed to
+    jitted kernels as device buffers, not baked-in constants."""
 
     occ: jnp.ndarray            # (n+1, 4) prefix counts, transposed for gathers
     sym_start: jnp.ndarray      # (max_sym+1,)
@@ -96,14 +99,30 @@ class DeviceIndex:
         )
 
 
+jax.tree_util.register_dataclass(
+    DeviceIndex,
+    data_fields=["occ", "sym_start", "sa", "marker_prefix", "marker_sa_pos",
+                 "pos_to_locus", "out_lo", "out_hi", "ops_kind", "ops_site",
+                 "ops_allele"],
+    meta_fields=["size", "n_outcomes", "n_ops"],
+)
+
+
 def _build_search_step(di: DeviceIndex):
-    """Returns step(carry, base) for lax.scan over read positions."""
+    """Returns step(carry, base) for lax.scan over read positions.
+
+    Cost shape: the candidate pool (originals + marker fan-out) carries
+    only SA intervals; the frontier is compacted to S slots with top_k,
+    and the (rarely non-trivial) path operations are applied only to the
+    S survivors -- keeping the per-step HBM traffic at O(R*C) ints plus
+    O(R*S*P) path words.
+    """
     B = di.n_outcomes
     O = di.n_ops
     S = MAX_STATES
     H = MAX_HITS
     P = MAX_PATH
-    C = S + S * H * B  # candidate pool size
+    C = S + S * H * B  # candidate pool: originals then (s, h, b) fan-out
 
     def step(carry, base):
         lo, hi, valid, trav, n_trav, ing, n_ing, overflow = carry
@@ -113,77 +132,31 @@ def _build_search_step(di: DeviceIndex):
         # ---- 1. marker hits per state -----------------------------------
         mstart = di.marker_prefix[jnp.clip(lo, 0, di.size - 1)]          # (R,S)
         mend = di.marker_prefix[jnp.clip(hi + 1, 0, di.size)]            # (R,S)
-        cnt = mend - mstart
-        hit_overflow = jnp.any((cnt > H) & valid & active[:, None], axis=1)
+        cnt = jnp.where(valid, mend - mstart, 0)
+        hit_overflow = jnp.any((cnt > H) & active[:, None], axis=1)
 
         j = jnp.arange(H)
         hit_idx = mstart[:, :, None] + j                                  # (R,S,H)
-        hit_valid = (j < jnp.minimum(cnt, H)[:, :, None]) & valid[:, :, None]
+        hit_valid = j < jnp.minimum(cnt, H)[:, :, None]
         sa_row = di.marker_sa_pos[jnp.clip(hit_idx, 0, di.marker_sa_pos.shape[0] - 1)]
         prg_pos = di.sa[jnp.clip(sa_row, 0, di.size - 1)]
         loc_idx = jnp.where(hit_valid,
                             di.pos_to_locus[jnp.clip(prg_pos, 0, di.pos_to_locus.shape[0] - 1)],
                             -1)                                           # (R,S,H)
 
-        # ---- 2. jump outcomes -> candidates (R,S,H,B) -------------------
+        # ---- 2. jump outcome intervals (R,S,H,B) ------------------------
         li = jnp.clip(loc_idx, 0, di.out_lo.shape[0] - 1)
         cand_lo = di.out_lo[li]                                           # (R,S,H,B)
         cand_hi = di.out_hi[li]
         cand_valid = (loc_idx[..., None] >= 0) & (cand_lo >= 0)
 
-        # paths: broadcast parent paths to outcome slots
-        ptrav = jnp.broadcast_to(trav[:, :, None, None], (R, S, H, B, P, 2))
-        ping = jnp.broadcast_to(ing[:, :, None, None], (R, S, H, B, P, 2))
-        pn_trav = jnp.broadcast_to(n_trav[:, :, None, None], (R, S, H, B))
-        pn_ing = jnp.broadcast_to(n_ing[:, :, None, None], (R, S, H, B))
-
-        kinds = di.ops_kind[li]                                           # (R,S,H,B,O)
-        sites = di.ops_site[li]
-        alleles = di.ops_allele[li]
-
-        arange_p = jnp.arange(P)
-        path_overflow = jnp.zeros((R, S, H, B), dtype=bool)
-        ctrav, cing = ptrav, ping
-        cn_trav, cn_ing = pn_trav, pn_ing
-        for o in range(O):
-            kind = kinds[..., o]                                          # (R,S,H,B)
-            is_exit = kind == OP_EXIT
-            is_enter = kind == OP_ENTER
-            site = sites[..., o]
-            allele = alleles[..., o]
-            # exit: pop traversing if nonempty, append (site, allele) to traversed
-            has_ing = cn_ing > 0
-            cn_ing = jnp.where(is_exit & has_ing, cn_ing - 1, cn_ing)
-            slot = arange_p == jnp.clip(cn_trav, 0, P - 1)[..., None]     # (R,S,H,B,P)
-            write = is_exit[..., None] & slot
-            ctrav = jnp.where(write[..., None],
-                              jnp.stack([site, allele], axis=-1)[..., None, :],
-                              ctrav)
-            path_overflow |= is_exit & (cn_trav >= P)
-            cn_trav = jnp.where(is_exit, jnp.minimum(cn_trav + 1, P), cn_trav)
-            # enter: push (site, ALLELE_UNKNOWN) on traversing
-            slot_i = arange_p == jnp.clip(cn_ing, 0, P - 1)[..., None]
-            write_i = is_enter[..., None] & slot_i
-            cing = jnp.where(write_i[..., None],
-                             jnp.stack([site, jnp.full_like(site, ALLELE_UNKNOWN)],
-                                       axis=-1)[..., None, :],
-                             cing)
-            path_overflow |= is_enter & (cn_ing >= P)
-            cn_ing = jnp.where(is_enter, jnp.minimum(cn_ing + 1, P), cn_ing)
-
-        hit_overflow |= jnp.any(path_overflow & cand_valid, axis=(1, 2, 3))
-
-        # ---- 3. pool originals + jump candidates (R, C) -----------------
-        def flat(x, tail=()):
-            return x.reshape((R, S * H * B) + tail)
+        # ---- 3. pool intervals: originals + fan-out (R, C) --------------
+        def flat(x):
+            return x.reshape(R, S * H * B)
 
         pool_lo = jnp.concatenate([lo, flat(cand_lo)], axis=1)
         pool_hi = jnp.concatenate([hi, flat(cand_hi)], axis=1)
         pool_valid = jnp.concatenate([valid, flat(cand_valid)], axis=1)
-        pool_trav = jnp.concatenate([trav, flat(ctrav, (P, 2))], axis=1)
-        pool_ing = jnp.concatenate([ing, flat(cing, (P, 2))], axis=1)
-        pool_n_trav = jnp.concatenate([n_trav, flat(cn_trav)], axis=1)
-        pool_n_ing = jnp.concatenate([n_ing, flat(cn_ing)], axis=1)
 
         # ---- 4. LF base extension over the pool -------------------------
         first = di.sym_start[base]                                        # (R,)
@@ -194,20 +167,73 @@ def _build_search_step(di: DeviceIndex):
         new_hi = first[:, None] + occ_hi - 1
         pool_valid &= new_lo <= new_hi
 
-        # ---- 5. compact valid-first to S slots --------------------------
+        # ---- 5. compact valid-first to S slots via top_k ----------------
         n_valid = jnp.sum(pool_valid, axis=1)
         frontier_overflow = n_valid > S
-        order = jnp.argsort(~pool_valid, axis=1, stable=True)[:, :S]      # (R,S)
+        key = pool_valid.astype(jnp.int32) * (2 * C) + (C - 1 - jnp.arange(C))
+        _, order = jax.lax.top_k(key, S)                                  # (R,S)
         take = lambda x: jnp.take_along_axis(x, order, axis=1)
         sel_lo = take(new_lo)
         sel_hi = take(new_hi)
         sel_valid = take(pool_valid)
-        sel_trav = jnp.take_along_axis(pool_trav, order[:, :, None, None], axis=1)
-        sel_ing = jnp.take_along_axis(pool_ing, order[:, :, None, None], axis=1)
-        sel_n_trav = take(pool_n_trav)
-        sel_n_ing = take(pool_n_ing)
 
-        # ---- 6. no-op masking for padded steps --------------------------
+        # ---- 6. path bookkeeping for the S survivors only ---------------
+        # pool slot -> (parent state, hit, outcome); originals: slot itself
+        is_original = order < S
+        parent = jnp.where(is_original, order, (order - S) // (H * B))    # (R,S)
+        ev = jnp.clip(order - S, 0, S * H * B - 1)
+        ev_h = (ev // B) % H
+        ev_b = ev % B
+        gather_p = lambda x: jnp.take_along_axis(x, parent[:, :, None, None], axis=1)
+        sel_trav = gather_p(trav)
+        sel_ing = gather_p(ing)
+        sel_n_trav = jnp.take_along_axis(n_trav, parent, axis=1)
+        sel_n_ing = jnp.take_along_axis(n_ing, parent, axis=1)
+
+        # the event's jump locus + outcome (only meaningful for fan-out slots)
+        sel_loc = jnp.take_along_axis(
+            loc_idx.reshape(R, S * H), parent * H + ev_h, axis=1)         # (R,S)
+        sel_li = jnp.clip(sel_loc, 0, di.out_lo.shape[0] - 1)
+        has_event = (~is_original) & sel_valid
+
+        kinds = di.ops_kind[sel_li, ev_b]                                 # (R,S,O)
+        sites = di.ops_site[sel_li, ev_b]
+        alleles = di.ops_allele[sel_li, ev_b]
+
+        arange_p = jnp.arange(P)
+        path_overflow = jnp.zeros((R, S), dtype=bool)
+        for o in range(O):
+            kind = jnp.where(has_event, kinds[..., o], 0)                 # (R,S)
+            is_exit = kind == OP_EXIT
+            is_enter = kind == OP_ENTER
+            site = sites[..., o]
+            allele = alleles[..., o]
+            # exit: pop traversing if nonempty, append to traversed
+            has_ing = sel_n_ing > 0
+            sel_n_ing = jnp.where(is_exit & has_ing, sel_n_ing - 1, sel_n_ing)
+            slot = arange_p == jnp.clip(sel_n_trav, 0, P - 1)[..., None]  # (R,S,P)
+            write = is_exit[..., None] & slot
+            sel_trav = jnp.where(write[..., None],
+                                 jnp.stack([site, allele], axis=-1)[:, :, None, :],
+                                 sel_trav)
+            path_overflow |= is_exit & (sel_n_trav >= P)
+            sel_n_trav = jnp.where(is_exit, jnp.minimum(sel_n_trav + 1, P),
+                                   sel_n_trav)
+            # enter: push (site, ALLELE_UNKNOWN) on traversing
+            slot_i = arange_p == jnp.clip(sel_n_ing, 0, P - 1)[..., None]
+            write_i = is_enter[..., None] & slot_i
+            sel_ing = jnp.where(
+                write_i[..., None],
+                jnp.stack([site, jnp.full_like(site, ALLELE_UNKNOWN)],
+                          axis=-1)[:, :, None, :],
+                sel_ing)
+            path_overflow |= is_enter & (sel_n_ing >= P)
+            sel_n_ing = jnp.where(is_enter, jnp.minimum(sel_n_ing + 1, P),
+                                  sel_n_ing)
+
+        hit_overflow |= jnp.any(path_overflow & sel_valid, axis=1)
+
+        # ---- 7. no-op masking for padded steps --------------------------
         keep = lambda new, old: jnp.where(active[:, None], new, old)
         out_lo_ = keep(sel_lo, lo)
         out_hi_ = keep(sel_hi, hi)
@@ -224,19 +250,21 @@ def _build_search_step(di: DeviceIndex):
     return step
 
 
+@jax.jit
+def _search_impl(di: DeviceIndex, reads_T, carry):
+    step = _build_search_step(di)
+    final_carry, _ = jax.lax.scan(step, carry, reads_T)
+    return final_carry
+
+
 def make_batched_search(di: DeviceIndex):
     """Returns jitted fn: (reads_T, seed_carry) -> final carry.
 
     reads_T: (steps, R) base codes, right-to-left order, 0 = no-op pad.
+    The index rides along as a pytree argument (device buffers), so the
+    compiled kernel is reused across graphs of identical table shapes.
     """
-    step = _build_search_step(di)
-
-    @jax.jit
-    def search(reads_T, carry):
-        final_carry, _ = jax.lax.scan(step, carry, reads_T)
-        return final_carry
-
-    return search
+    return partial(_search_impl, di)
 
 
 def empty_carry(R: int):
@@ -308,6 +336,11 @@ class BatchedSearchEngine:
                              search_read_backwards)
 
         k = kmer_size
+        vec_filter = getattr(kmer_index, "all_kmers_indexed", None)
+        if vec_filter is not None:
+            kmer_filter = vec_filter
+        else:
+            kmer_filter = lambda r: all_read_kmers_in_index(k, r, kmer_index)
         # assemble rows: each mappable (read, orientation) is one row
         rows = []       # (buffer_index, read_array)
         results = [[] for _ in buffer]
@@ -317,7 +350,7 @@ class BatchedSearchEngine:
                 stats.skipped_reads_count += 2
                 continue
             for oriented in (read, revcomp(read)):
-                if not all_read_kmers_in_index(k, oriented, kmer_index):
+                if not kmer_filter(oriented):
                     stats.missing_kmer_reads_count += 1
                     continue
                 rows.append((i, oriented))

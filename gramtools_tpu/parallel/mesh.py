@@ -46,9 +46,8 @@ def make_sharded_quasimap(mesh: Mesh, di: DeviceIndex, num_sites: int,
     accumulation -- the analogue of the reference's shared-memory
     atomic-add coverage, as one collective.
     """
-    step = _build_search_step(di)
-
-    def shard_fn(reads_T, carry):
+    def shard_fn(di, reads_T, carry):
+        step = _build_search_step(di)
         final_carry, _ = jax.lax.scan(step, carry, reads_T)
         lo, hi, valid, trav, n_trav, ing, n_ing, overflow = final_carry
 
@@ -69,13 +68,15 @@ def make_sharded_quasimap(mesh: Mesh, di: DeviceIndex, num_sites: int,
         cov = jax.lax.psum(cov, axis_name="data")
         return final_carry, cov
 
+    di_specs = jax.tree_util.tree_map(lambda _: P(), di)  # index replicated
     sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, "data"), (P("data"),) * 7 + (P("data"),)),
+        in_specs=(di_specs, P(None, "data"), (P("data"),) * 7 + (P("data"),)),
         out_specs=((P("data"),) * 7 + (P("data"),), P(None, None)),
         check_rep=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    return partial(jitted, di)
 
 
 def run_sharded_quasimap(mesh: Mesh, di: DeviceIndex, reads: "list[np.ndarray]",
