@@ -83,6 +83,17 @@ def main():
     rng = np.random.RandomState(42)
     genome_len = int(GENOME_MB * 1e6)
 
+    # persistent XLA compile cache: repeated bench runs skip the (slow)
+    # TPU compile of the search scan
+    import jax
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gramtools_tpu.index.fm import FMIndex
     from gramtools_tpu.prg.graph import build_cov_graph

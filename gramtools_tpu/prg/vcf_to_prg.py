@@ -43,14 +43,32 @@ class VcfToPrg:
     """vcf_to_prg_string.py:32-189."""
 
     def __init__(self, vcf_file, reference_file, mode: str = "normal"):
+        _, records = parse_vcf(vcf_file)
+        self._init(records, load_fasta(reference_file), mode)
+
+    @classmethod
+    def from_records(cls, records: List[VcfRecord], ref_records: Dict[str, str],
+                     mode: str = "normal") -> "VcfToPrg":
+        self = cls.__new__(cls)
+        self._init(records, ref_records, mode)
+        return self
+
+    def _init(self, records, ref_records, mode):
         if mode not in ("legacy", "normal"):
             raise ValueError("mode must be legacy or normal")
-        self.ref_records: Dict[str, str] = load_fasta(reference_file)
-        _, records = parse_vcf(vcf_file)
+        self.ref_records: Dict[str, str] = ref_records
         self.num_sites = 0
         self.skipped_records = 0
         self.prg_ints_by_chrom: Dict[str, List[int]] = {}
         self._make_prg(records, mode)
+
+    def prg_string(self) -> str:
+        """Numbered-notation string, for tests/tools."""
+        out = []
+        for v in self.prg_ints():
+            v = int(v)
+            out.append("0ACGT"[v] if v <= 4 else str(v))
+        return "".join(out)
 
     def _check_record_ref(self, rec: VcfRecord):
         if rec.chrom not in self.ref_records:
