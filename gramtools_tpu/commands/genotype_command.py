@@ -126,10 +126,20 @@ def _check_read_stats(geno_report, action, geno_paths):
 
 
 def _make_rebasing_map(geno_paths):
-    """genotype.py:131-145."""
-    chrom_sizes = {name: len(seq)
-                   for name, seq in load_fasta(geno_paths.pers_ref).items()}
+    """genotype.py:131-145. For diploid runs the personalised-reference
+    records are ploidy-qualified ("chrom_1", "chrom_2"); sizes are mapped
+    back to the base chrom names (first haplotype's length)."""
+    chrom_sizes = {}
+    for name, seq in load_fasta(geno_paths.pers_ref).items():
+        chrom_sizes.setdefault(name, len(seq))
     _, base_records = parse_vcf(geno_paths.geno_vcf)
+    record_chroms = {r.chrom for r in base_records}
+    if record_chroms - set(chrom_sizes):
+        stripped = {}
+        for name, size in chrom_sizes.items():
+            base = name.rsplit("_", 1)[0] if "_" in name else name
+            stripped.setdefault(base, size)
+        chrom_sizes = stripped
     region_map = SeqRegionMapper(base_records, chrom_sizes).get_map()
     SearchableSeqRegionsMap(region_map).dump_to(
         geno_paths.rebasing_map, dump_sequences=False)

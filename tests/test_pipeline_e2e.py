@@ -80,6 +80,22 @@ def test_genotype_nested_it3(tmp_path):
     assert j["Child_Map"] == {"0": {"0": [1]}}
 
 
+def test_genotype_diploid_it1(it1_run, tmp_path):
+    base = DATA_DIR / "IT1"
+    assert run(["genotype", "--gram_dir", str(it1_run / "gram"),
+                "--genotype_dir", str(tmp_path / "geno"),
+                "--reads", str(base / "reads.fastq"),
+                "--sample_id", "t", "--ploidy", "diploid", "--force"]) == 0
+    j = json.load(open(tmp_path / "geno" / "genotype" / "genotyped.json"))
+    # one read on each allele of each site: heterozygous calls
+    assert j["Sites"][0]["GT"] == [[0, 1]]
+    assert j["Sites"][1]["GT"] == [[0, 1]]
+    # diploid personalised ref: one sequence per haplotype
+    pers = (tmp_path / "geno" / "genotype" /
+            "personalised_reference.fasta").read_text()
+    assert pers.count(">") == 2
+
+
 def test_simulate_paths(it1_run, tmp_path):
     assert run(["simulate", "--prg", str(it1_run / "gram" / "prg"),
                 "-o", str(tmp_path), "-n", "30", "--sample_id", "sim",
