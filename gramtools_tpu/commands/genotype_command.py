@@ -67,12 +67,17 @@ def _load_build_report(geno_paths):
 def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
     """The backend pipeline (genotype.cpp:24-122)."""
     read_files = [str(p) for p in geno_paths.reads_files]
-    engine = None
     read_stats = ReadStats()
     read_stats.compute_base_error_rate(read_files[0])
 
     log.info("Loading PRG and kmer index data")
     idx, kmer_index = load_all(geno_paths.gram_dir)
+
+    engine = None
+    if getattr(args, "engine", "host") == "device":
+        from ..mapping.search_jax import BatchedSearchEngine
+        log.info("Using batched device mapping engine")
+        engine = BatchedSearchEngine(idx, kmer_size)
 
     log.info("Running quasimap")
     stats, coverage = quasimap_reads(read_files, kmer_index, idx, kmer_size,

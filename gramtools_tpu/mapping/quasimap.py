@@ -78,10 +78,21 @@ def quasimap_forward_reverse(read, coverage, kmer_index, idx, kmer_size,
 
 
 def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
+    """Buffers of int-encoded reads; non-ACGT reads become empty
+    (utils.cpp:73-80). Uses the native C++ parser when built."""
+    from ..index.native import native_read_batches
+
+    native = native_read_batches(reads_fpath, batch_size=READS_BUFFER_SIZE)
+    if native is not None:
+        for batch in native:
+            yield [r if not np.any(r == 0) else np.empty(0, dtype=np.uint8)
+                   for r in batch]
+        return
+
     buffer: List[np.ndarray] = []
     for _, seq, _ in iter_fastx(reads_fpath):
         encoded = encode_dna(seq)
-        if np.any(encoded == 0):  # non-ACGT read -> empty (utils.cpp:73-80)
+        if np.any(encoded == 0):
             encoded = np.empty(0, dtype=np.uint8)
         buffer.append(encoded)
         if len(buffer) == READS_BUFFER_SIZE:
