@@ -25,9 +25,9 @@ GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "4.4"))
 NUM_SITES = int(os.environ.get("BENCH_NUM_SITES", "100000"))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", "150"))
 KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
-BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
-HOST_READS = int(os.environ.get("BENCH_HOST_READS", "30"))
+HOST_READS = int(os.environ.get("BENCH_HOST_READS", "20"))
 
 
 def build_synthetic_mtb_graph(rng, genome_len, num_sites):
@@ -99,8 +99,7 @@ def main():
     from gramtools_tpu.prg.graph import build_cov_graph
     from gramtools_tpu.prg.linearise import PrgString
     from gramtools_tpu.mapping.search import PrgIndex
-    from gramtools_tpu.mapping.search_jax import (
-        DeviceIndex, empty_carry, make_batched_search)
+    from gramtools_tpu.mapping.search_jax import DeviceIndex
 
     print(f"# building synthetic graph: {GENOME_MB}Mb, {NUM_SITES} sites",
           file=sys.stderr)
@@ -121,30 +120,42 @@ def main():
           file=sys.stderr)
 
     di = DeviceIndex.build(idx)
-    search = make_batched_search(di)
 
     reads = sample_reads(rng, prg_ints, BATCH, READ_LEN)
 
     import jax
     import jax.numpy as jnp
-    from gramtools_tpu.mapping.search_jax import load_seed_states
+    from gramtools_tpu.mapping.search_jax_flat import (
+        FlatConfig, empty_flat_carry, make_flat_search)
+
+    # pool sized for ~3 live states/read on SNP-dense graphs; hit budget
+    # tracks actual marker-crossing volume per step
+    cfg = FlatConfig(pool=int(os.environ.get("BENCH_POOL", 4 * BATCH)),
+                     hits=int(os.environ.get("BENCH_HITS", BATCH // 4)))
+    search = make_flat_search(di, cfg, BATCH)
 
     def make_args(reads_arr):
-        """Kmer-seeded batch: seed frontier from the last-kmer index hit,
-        stream the remaining bases (the production mapping path)."""
+        """Kmer-seeded batch: vectorised seed of the flat pool from the
+        last-kmer index hits, stream the remaining bases."""
         R = reads_arr.shape[0]
         k = KMER_SIZE
-        carry = empty_carry(R)
-        n_seeded = 0
-        reads_T = np.zeros((READ_LEN - k, R), dtype=np.int32)
-        for row in range(R):
-            seed_states = kmer_index.get(
-                reads_arr[row, READ_LEN - k:].tobytes())
-            if seed_states and load_seed_states(carry, row, seed_states):
-                n_seeded += 1
-                body = reads_arr[row, : READ_LEN - k][::-1]
-                reads_T[: body.size, row] = body
-        print(f"# {n_seeded}/{R} reads seeded from kmer index", file=sys.stderr)
+        carry = empty_flat_carry(R, cfg)
+        read_id, lo, hi, trav, n_trav, ing, n_ing, _ = carry
+        owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = kmer_index.seed_batch(
+            reads_arr[:, READ_LEN - k:])
+        n_states = min(owner.size, cfg.pool)
+        read_id[:n_states] = owner[:n_states]
+        lo[:n_states] = s_lo[:n_states]
+        hi[:n_states] = s_hi[:n_states]
+        trav[:n_states] = s_trav[:n_states]
+        n_trav[:n_states] = s_nt[:n_states]
+        ing[:n_states] = s_ing[:n_states]
+        n_ing[:n_states] = s_ni[:n_states]
+        reads_T = np.ascontiguousarray(
+            reads_arr[:, : READ_LEN - k][:, ::-1].T).astype(np.int32)
+        n_seeded = np.unique(owner[:n_states]).size
+        print(f"# {n_seeded}/{R} reads seeded, {n_states} seed states",
+              file=sys.stderr)
         return jnp.asarray(reads_T), jax.device_put(carry)
 
     t_s = time.time()
@@ -154,7 +165,8 @@ def main():
     # warmup + compile
     out = search(reads_T, carry)
     jax.block_until_ready(out)
-    n_mapped = int(np.asarray(out[2]).any(axis=1).sum())
+    final_read_id = np.asarray(out[0])
+    n_mapped = np.unique(final_read_id[final_read_id >= 0]).size
     n_overflow = int(np.asarray(out[7]).sum())
     print(f"# warmup done; {n_mapped}/{BATCH} reads mapped, "
           f"{n_overflow} overflowed", file=sys.stderr)

@@ -235,6 +235,31 @@ class ArrayKmerIndex:
         return bool(np.all((pos < self.codes.size)
                            & (self.codes[pos_c] == codes)))
 
+    def seed_batch(self, last_kmers: np.ndarray):
+        """Vectorised seed lookup for a batch: last_kmers (R, k) uint8.
+
+        Returns (owner_row, lo, hi, trav, n_trav, ing, n_ing): one entry
+        per seed state, owner_row = read row it belongs to (rows whose
+        kmer is absent contribute no states).
+        """
+        k = self.kmer_size
+        powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        codes = (last_kmers.astype(np.int64) - 1) @ powers
+        pos = np.searchsorted(self.codes, codes)
+        pos_c = np.clip(pos, 0, max(self.codes.size - 1, 0))
+        found = (pos < self.codes.size) & (self.codes[pos_c] == codes)
+        starts = np.where(found, self.offsets[pos_c], 0)
+        counts = np.where(found, self.offsets[np.minimum(pos_c + 1,
+                                                         self.offsets.size - 1)]
+                          - starts, 0)
+        total = int(counts.sum())
+        owner = np.repeat(np.arange(codes.size), counts)
+        first_of = np.repeat(np.cumsum(counts) - counts, counts)
+        sidx = np.repeat(starts, counts) + (np.arange(total) - first_of)
+        return (owner.astype(np.int32), self.lo[sidx], self.hi[sidx],
+                self.trav[sidx], self.n_trav[sidx], self.ing[sidx],
+                self.n_ing[sidx])
+
     # --- serialisation -----------------------------------------------------
 
     def save(self, path):

@@ -64,6 +64,7 @@ class DeviceIndex:
     marker_prefix: jnp.ndarray  # (n+1,)
     marker_sa_pos: jnp.ndarray  # (n_markers,) padded to >=1
     pos_to_locus: jnp.ndarray   # (len_prg,)
+    sentinel_row: jnp.ndarray   # () BWT row holding the 0 sentinel
     out_lo: jnp.ndarray         # (L, B)
     out_hi: jnp.ndarray
     ops_kind: jnp.ndarray       # (L, B, O)
@@ -88,6 +89,8 @@ class DeviceIndex:
             marker_prefix=jnp.asarray(fm.marker_prefix),
             marker_sa_pos=jnp.asarray(marker_sa_pos),
             pos_to_locus=jnp.asarray(jt.pos_to_locus),
+            sentinel_row=jnp.asarray(
+                np.int32(np.flatnonzero(fm.bwt == 0)[0])),
             out_lo=jnp.asarray(jt.out_lo),
             out_hi=jnp.asarray(jt.out_hi),
             ops_kind=jnp.asarray(jt.ops_kind.astype(np.int32)),
@@ -102,8 +105,8 @@ class DeviceIndex:
 jax.tree_util.register_dataclass(
     DeviceIndex,
     data_fields=["occ", "sym_start", "sa", "marker_prefix", "marker_sa_pos",
-                 "pos_to_locus", "out_lo", "out_hi", "ops_kind", "ops_site",
-                 "ops_allele"],
+                 "pos_to_locus", "sentinel_row", "out_lo", "out_hi",
+                 "ops_kind", "ops_site", "ops_allele"],
     meta_fields=["size", "n_outcomes", "n_ops"],
 )
 

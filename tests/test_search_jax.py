@@ -15,6 +15,7 @@ from gramtools_tpu.index.kmer_index import build_kmer_index
 from gramtools_tpu.mapping.quasimap import quasimap_reads
 from gramtools_tpu.mapping.search import search_read_backwards
 from gramtools_tpu.mapping.search_jax import BatchedSearchEngine
+from gramtools_tpu.mapping.search_jax_flat import FlatBatchedEngine, FlatConfig
 from gramtools_tpu.prg.linearise import PrgString, prg_string_to_ints
 
 DATA_DIR = Path("/root/reference/gramtools/tests/integration_test_data")
@@ -42,9 +43,10 @@ def states_key(states):
     return sorted((s.lo, s.hi, s.traversed, s.traversing) for s in states)
 
 
+@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine])
 @pytest.mark.parametrize("seed,nested", [(0, False), (1, False), (2, True),
                                          (3, True), (4, True)])
-def test_batched_matches_host_random(seed, nested):
+def test_batched_matches_host_random(seed, nested, engine_cls):
     rng = np.random.RandomState(seed)
     prg_str = random_prg(rng, nested=nested)
     try:
@@ -54,7 +56,11 @@ def test_batched_matches_host_random(seed, nested):
         pytest.skip("randomly generated inconsistent PRG")
     k = 3
     kmer_index = build_kmer_index(idx, k)
-    engine = BatchedSearchEngine(idx, k)
+    if engine_cls is FlatBatchedEngine:
+        # small pool/hit budget exercises the overflow->host path too
+        engine = FlatBatchedEngine(idx, k, FlatConfig(pool=256, hits=64))
+    else:
+        engine = BatchedSearchEngine(idx, k)
 
     # random reads: some sampled from the prg space, some random
     reads = []
@@ -90,16 +96,18 @@ def test_batched_matches_host_random(seed, nested):
 
 
 @pytest.mark.skipif(not DATA_DIR.exists(), reason="fixtures unavailable")
+@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine])
 @pytest.mark.parametrize("fixture,expected_grouped", [
     ("IT1", [{(0,): 1, (1,): 1}, {(0,): 1, (1,): 1}]),
     ("IT2", [{(0, 1): 1}, {(0, 1): 1}]),
     ("IT3", [{(0,): 1, (0, 1): 1}, {(0,): 1}]),
 ])
-def test_device_engine_integration_parity(fixture, expected_grouped):
+def test_device_engine_integration_parity(fixture, expected_grouped,
+                                          engine_cls):
     prg = PrgString.from_file(DATA_DIR / fixture / "prg.bin")
     idx = build_prg_index(prg)
     kmer_index = build_kmer_index(idx, 5)
-    engine = BatchedSearchEngine(idx, 5)
+    engine = engine_cls(idx, 5)
     stats, coverage = quasimap_reads(
         [str(DATA_DIR / fixture / "reads.fastq")], kmer_index, idx, 5,
         seed=42, engine=engine)
