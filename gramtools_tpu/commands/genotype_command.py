@@ -75,9 +75,9 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
 
     engine = None
     if getattr(args, "engine", "host") == "device":
-        from ..mapping.search_jax import BatchedSearchEngine
-        log.info("Using batched device mapping engine")
-        engine = BatchedSearchEngine(idx, kmer_size)
+        from ..mapping.search_jax_flat import FlatBatchedEngine
+        log.info("Using batched device mapping engine (flat pool)")
+        engine = FlatBatchedEngine(idx, kmer_size)
 
     log.info("Running quasimap")
     stats, coverage = quasimap_reads(read_files, kmer_index, idx, kmer_size,

@@ -255,32 +255,62 @@ class FlatBatchedEngine:
         read_id, lo, hi, trav, n_trav, ing, n_ing, _ = carry
         reads_T = np.zeros((steps, R), dtype=np.int32)
         host_rows = set()
-        cursor = 0
-        for row, (i, read) in enumerate(rows):
-            seed = read[read.size - k:].astype(np.uint8).tobytes()
-            states = kmer_index.get(seed, [])
-            ok = bool(states) and cursor + len(states) <= self.cfg.pool
-            if ok:
+
+        seed_fn = getattr(kmer_index, "seed_batch", None)
+        if seed_fn is not None and getattr(kmer_index, "trav", None) is not None \
+                and kmer_index.trav.shape[1] == P:
+            # vectorised seeding from the array-backed kmer index
+            last_kmers = np.zeros((len(rows), k), dtype=np.uint8)
+            for row, (i, read) in enumerate(rows):
+                last_kmers[row] = read[read.size - k:]
+                body = read[: read.size - k][::-1]
+                reads_T[: body.size, row] = body
+            owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = seed_fn(last_kmers)
+            n_states = owner.size
+            if n_states > self.cfg.pool:
+                # rows whose seeds do not fit go to the host engine
+                for r in np.unique(owner[self.cfg.pool:]):
+                    host_rows.add(int(r))
+                n_states = self.cfg.pool
+            read_id[:n_states] = owner[:n_states]
+            lo[:n_states] = s_lo[:n_states]
+            hi[:n_states] = s_hi[:n_states]
+            trav[:n_states] = s_trav[:n_states]
+            n_trav[:n_states] = s_nt[:n_states]
+            ing[:n_states] = s_ing[:n_states]
+            n_ing[:n_states] = s_ni[:n_states]
+            seeded = set(np.unique(owner[:n_states]).tolist())
+            for row in range(len(rows)):
+                if row not in seeded:
+                    host_rows.add(row)
+            cursor = n_states
+        else:
+            cursor = 0
+            for row, (i, read) in enumerate(rows):
+                seed = read[read.size - k:].astype(np.uint8).tobytes()
+                states = kmer_index.get(seed, [])
+                ok = bool(states) and cursor + len(states) <= self.cfg.pool
+                if ok:
+                    for s in states:
+                        if len(s.traversed) > P or len(s.traversing) > P:
+                            ok = False
+                            break
+                if not ok:
+                    host_rows.add(row)
+                    continue
                 for s in states:
-                    if len(s.traversed) > P or len(s.traversing) > P:
-                        ok = False
-                        break
-            if not ok:
-                host_rows.add(row)
-                continue
-            for s in states:
-                read_id[cursor] = row
-                lo[cursor] = s.lo
-                hi[cursor] = s.hi
-                for pi, locus in enumerate(s.traversed):
-                    trav[cursor, pi] = locus
-                n_trav[cursor] = len(s.traversed)
-                for pi, locus in enumerate(s.traversing):
-                    ing[cursor, pi] = locus
-                n_ing[cursor] = len(s.traversing)
-                cursor += 1
-            body = read[: read.size - k][::-1]
-            reads_T[: body.size, row] = body
+                    read_id[cursor] = row
+                    lo[cursor] = s.lo
+                    hi[cursor] = s.hi
+                    for pi, locus in enumerate(s.traversed):
+                        trav[cursor, pi] = locus
+                    n_trav[cursor] = len(s.traversed)
+                    for pi, locus in enumerate(s.traversing):
+                        ing[cursor, pi] = locus
+                    n_ing[cursor] = len(s.traversing)
+                    cursor += 1
+                body = read[: read.size - k][::-1]
+                reads_T[: body.size, row] = body
 
         if steps > 0 and cursor > 0:
             fn = make_flat_search(self.di, self.cfg, R)

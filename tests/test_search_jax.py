@@ -104,9 +104,11 @@ def test_batched_matches_host_random(seed, nested, engine_cls):
 ])
 def test_device_engine_integration_parity(fixture, expected_grouped,
                                           engine_cls):
+    from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
     prg = PrgString.from_file(DATA_DIR / fixture / "prg.bin")
     idx = build_prg_index(prg)
-    kmer_index = build_kmer_index(idx, 5)
+    # array-backed index exercises the vectorised seeding path
+    kmer_index = build_kmer_index_vectorised(idx, 5)
     engine = engine_cls(idx, 5)
     stats, coverage = quasimap_reads(
         [str(DATA_DIR / fixture / "reads.fastq")], kmer_index, idx, 5,
