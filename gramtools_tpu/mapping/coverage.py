@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Dict, FrozenSet, List, Set, Tuple
+from typing import Dict, FrozenSet, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -116,10 +116,12 @@ class SelectedMapping:
 
 
 def select_mapping_instance(states: List[SearchState], idx: PrgIndex,
-                            selection_seed: int) -> SelectedMapping:
+                            selection_seed: int,
+                            first_raw: Optional[int] = None) -> SelectedMapping:
     """Uniform pick of one mapping instance: either a non-variant occurrence
     or one site-equivalence class. RNG parity with the reference's
-    per-read mt19937 selection."""
+    per-read mt19937 selection; `first_raw` is the optional precomputed
+    first raw draw (common/rng.py fast path)."""
     # group path-bearing states by their set of base (level-1) sites
     usps: Dict[FrozenSet[int], Tuple[List[SearchState], Set[Locus]]] = {}
     nonvariant_count = 0
@@ -137,8 +139,11 @@ def select_mapping_instance(states: List[SearchState], idx: PrgIndex,
         return SelectedMapping()
 
     total = nonvariant_count + len(usps)
-    selector = RandomInclusiveInt(selection_seed)
-    selected = selector.generate(1, total)
+    if first_raw is not None:
+        from ..common.rng import generate_fast
+        selected = generate_fast(selection_seed, first_raw, 1, total)
+    else:
+        selected = RandomInclusiveInt(selection_seed).generate(1, total)
     if selected <= nonvariant_count:
         return SelectedMapping()  # non-variant path: nothing recorded
     index = selected - nonvariant_count - 1
@@ -278,8 +283,9 @@ def record_grouped_counts(coverage: Coverage, loci: Set[Locus]):
 
 
 def record_search_states(coverage: Coverage, states: List[SearchState],
-                         read_length: int, idx: PrgIndex, selection_seed: int):
-    selected = select_mapping_instance(states, idx, selection_seed)
+                         read_length: int, idx: PrgIndex, selection_seed: int,
+                         first_raw: Optional[int] = None):
+    selected = select_mapping_instance(states, idx, selection_seed, first_raw)
     if not selected.states:
         return
     record_per_base(idx, selected.states, read_length)

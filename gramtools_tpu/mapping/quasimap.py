@@ -14,7 +14,7 @@ from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
-from ..common.rng import RandomInclusiveInt
+from ..common.rng import RandomInclusiveInt, first_raw_draws
 from ..common.seq import iter_fastx, encode_dna, revcomp
 from ..index.kmer_index import KmerIndex
 from .coverage import Coverage, record_search_states
@@ -52,7 +52,7 @@ def all_read_kmers_in_index(kmer_size: int, read: np.ndarray,
 
 def quasimap_read(read: np.ndarray, coverage: Coverage, kmer_index: KmerIndex,
                   idx: PrgIndex, kmer_size: int, stats: QuasimapStats,
-                  selection_seed: int):
+                  selection_seed: int, first_raw=None):
     """quasimap.cpp:159-194."""
     if not all_read_kmers_in_index(kmer_size, read, kmer_index):
         stats.missing_kmer_reads_count += 1
@@ -66,15 +66,17 @@ def quasimap_read(read: np.ndarray, coverage: Coverage, kmer_index: KmerIndex,
     if not states:
         stats.no_extension_reads_count += 1
         return
-    record_search_states(coverage, states, int(read.size), idx, selection_seed)
+    record_search_states(coverage, states, int(read.size), idx, selection_seed,
+                         first_raw)
     stats.exact_mapped_reads_count += 1
 
 
 def quasimap_forward_reverse(read, coverage, kmer_index, idx, kmer_size,
-                             stats, selection_seed):
-    quasimap_read(read, coverage, kmer_index, idx, kmer_size, stats, selection_seed)
+                             stats, selection_seed, first_raw=None):
+    quasimap_read(read, coverage, kmer_index, idx, kmer_size, stats,
+                  selection_seed, first_raw)
     quasimap_read(revcomp(read), coverage, kmer_index, idx, kmer_size, stats,
-                  selection_seed)
+                  selection_seed, first_raw)
 
 
 def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
@@ -118,9 +120,12 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
             # (quasimap.cpp:136-137): preserves RNG stream parity
             selection_seeds = [master_seed_generator._raw()
                                for _ in range(READS_BUFFER_SIZE)]
+            first_raws = first_raw_draws(np.asarray(selection_seeds,
+                                                    dtype=np.uint32))
             if engine is not None:
-                _map_buffer_batched(buffer, selection_seeds, coverage,
-                                    kmer_index, idx, kmer_size, stats, engine)
+                _map_buffer_batched(buffer, selection_seeds, first_raws,
+                                    coverage, kmer_index, idx, kmer_size,
+                                    stats, engine)
             else:
                 for i, read in enumerate(buffer):
                     stats.all_reads_count += 2
@@ -128,12 +133,14 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                         stats.skipped_reads_count += 2
                         continue
                     quasimap_forward_reverse(read, coverage, kmer_index, idx,
-                                             kmer_size, stats, selection_seeds[i])
+                                             kmer_size, stats,
+                                             selection_seeds[i],
+                                             int(first_raws[i]))
     return stats, coverage
 
 
-def _map_buffer_batched(buffer, selection_seeds, coverage, kmer_index, idx,
-                        kmer_size, stats, engine):
+def _map_buffer_batched(buffer, selection_seeds, first_raws, coverage,
+                        kmer_index, idx, kmer_size, stats, engine):
     """Batched path: the engine searches fwd+rev in one device batch;
     coverage recording stays on host (cheap per mapped read)."""
     results = engine.search_buffer(buffer, kmer_index, kmer_size, stats)
@@ -145,5 +152,5 @@ def _map_buffer_batched(buffer, selection_seeds, coverage, kmer_index, idx,
                 stats.no_extension_reads_count += 1
                 continue
             record_search_states(coverage, states, read_len, idx,
-                                 selection_seeds[i])
+                                 selection_seeds[i], int(first_raws[i]))
             stats.exact_mapped_reads_count += 1
