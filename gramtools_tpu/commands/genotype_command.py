@@ -65,13 +65,18 @@ def _load_build_report(geno_paths):
 
 @report.with_report
 def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
-    """The backend pipeline (genotype.cpp:24-122)."""
+    """The backend pipeline (genotype.cpp:24-122), with phase timing
+    (TimerReport parity: genotype.cpp:26-121)."""
+    from ..common.timers import TimerReport
+
+    timer = TimerReport()
     read_files = [str(p) for p in geno_paths.reads_files]
     read_stats = ReadStats()
     read_stats.compute_base_error_rate(read_files[0])
 
     log.info("Loading PRG and kmer index data")
-    idx, kmer_index = load_all(geno_paths.gram_dir)
+    with timer.phase("Load data"):
+        idx, kmer_index = load_all(geno_paths.gram_dir)
 
     engine = None
     if getattr(args, "engine", "host") == "device":
@@ -80,41 +85,47 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
         engine = FlatBatchedEngine(idx, kmer_size)
 
     log.info("Running quasimap")
-    stats, coverage = quasimap_reads(read_files, kmer_index, idx, kmer_size,
-                                     seed=args.seed, engine=engine)
-    read_stats.compute_coverage_depth(coverage, idx)
+    with timer.phase("Quasimap"):
+        stats, coverage = quasimap_reads(read_files, kmer_index, idx, kmer_size,
+                                         seed=args.seed, engine=engine)
+        read_stats.compute_coverage_depth(coverage, idx)
     read_stats.serialise(geno_paths.read_stats)
     log.info("Mapping stats: %s", stats.as_dict())
     geno_report["processes"][action] = collections.OrderedDict(
         [("mapping_stats", stats.as_dict())])
 
-    dump_all(coverage, idx, geno_paths.allele_sum_cov, geno_paths.pb_cov,
-             geno_paths.gped_cov)
+    with timer.phase("Coverage dumps"):
+        dump_all(coverage, idx, geno_paths.allele_sum_cov, geno_paths.pb_cov,
+                 geno_paths.gped_cov)
 
     log.info("Running genotyping model")
     ploidy = PLOIDY[args.ploidy]
     debug_fpath = str(geno_paths.debug_info) if args.debug else None
-    genotyper = LevelGenotyper(idx, coverage, read_stats, ploidy,
-                               get_gcp=True, debug_fpath=debug_fpath)
-    sites = genotyper.genotyped_records
+    with timer.phase("Genotyping"):
+        genotyper = LevelGenotyper(idx, coverage, read_stats, ploidy,
+                                   get_gcp=True, debug_fpath=debug_fpath)
+        sites = genotyper.genotyped_records
 
     tracker = SegmentTracker.from_file(geno_paths.gram_dir / "prg_coords.tsv")
 
-    log.info("Producing json vcf")
-    prg_json = make_json_prg(idx, sites, tracker, args.sample_id,
-                             "made by gramtools genotype")
-    write_json_prg(prg_json, geno_paths.geno_json)
+    with timer.phase("Outputs"):
+        log.info("Producing json vcf")
+        prg_json = make_json_prg(idx, sites, tracker, args.sample_id,
+                                 "made by gramtools genotype")
+        write_json_prg(prg_json, geno_paths.geno_json)
 
-    log.info("Producing personalised reference")
-    tracker.reset()
-    p_refs = get_personalised_ref(idx, sites, tracker)
-    write_personalised_ref(
-        p_refs, f"{args.sample_id} personalised reference made by gramtools genotype",
-        geno_paths.pers_ref)
+        log.info("Producing personalised reference")
+        tracker.reset()
+        p_refs = get_personalised_ref(idx, sites, tracker)
+        write_personalised_ref(
+            p_refs,
+            f"{args.sample_id} personalised reference made by gramtools genotype",
+            geno_paths.pers_ref)
 
-    log.info("Producing vcf")
-    tracker.reset()
-    write_vcf(idx, sites, tracker, args.sample_id, geno_paths.geno_vcf)
+        log.info("Producing vcf")
+        tracker.reset()
+        write_vcf(idx, sites, tracker, args.sample_id, geno_paths.geno_vcf)
+    timer.report()
 
 
 @report.with_report

@@ -235,6 +235,32 @@ class ArrayKmerIndex:
         return bool(np.all((pos < self.codes.size)
                            & (self.codes[pos_c] == codes)))
 
+    def batch_all_indexed(self, reads: List[np.ndarray]) -> np.ndarray:
+        """all_kmers_indexed for a whole batch in one searchsorted pass."""
+        k = self.kmer_size
+        sizes = np.array([r.size for r in reads])
+        ok = sizes >= k
+        use = [r for r, o in zip(reads, ok) if o]
+        if not use:
+            return ok & False
+        powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        code_chunks = []
+        counts = []
+        for r in use:
+            w = np.lib.stride_tricks.sliding_window_view(
+                r.astype(np.int64) - 1, k)
+            code_chunks.append(w @ powers)
+            counts.append(w.shape[0])
+        codes = np.concatenate(code_chunks)
+        pos = np.searchsorted(self.codes, codes)
+        pos_c = np.clip(pos, 0, max(self.codes.size - 1, 0))
+        hit = (pos < self.codes.size) & (self.codes[pos_c] == codes)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        all_hit = np.minimum.reduceat(hit.astype(np.int8), offsets).astype(bool)
+        out = ok.copy()
+        out[ok] = all_hit
+        return out
+
     def seed_batch(self, last_kmers: np.ndarray):
         """Vectorised seed lookup for a batch: last_kmers (R, k) uint8.
 

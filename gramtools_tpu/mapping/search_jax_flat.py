@@ -217,6 +217,8 @@ class FlatBatchedEngine:
 
     def __init__(self, idx: PrgIndex, kmer_size: int,
                  cfg: Optional[FlatConfig] = None):
+        from ..common.jax_setup import enable_compile_cache
+        enable_compile_cache()
         self.idx = idx
         self.kmer_size = kmer_size
         self.di = DeviceIndex.build(idx)
@@ -232,18 +234,33 @@ class FlatBatchedEngine:
 
         k = kmer_size
         P = self.cfg.path
-        rows = []
         results = [[] for _ in buffer]
+
+        # batch kmer-presence screen over all orientations at once
+        oriented_all = []
+        owners = []
         for i, read in enumerate(buffer):
             stats.all_reads_count += 2
             if read.size == 0:
                 stats.skipped_reads_count += 2
                 continue
-            for oriented in (read, revcomp(read)):
-                if not all_read_kmers_in_index(k, oriented, kmer_index):
-                    stats.missing_kmer_reads_count += 1
-                    continue
+            oriented_all.append(read)
+            oriented_all.append(revcomp(read))
+            owners.extend((i, i))
+        if not oriented_all:
+            return results
+        batch_filter = getattr(kmer_index, "batch_all_indexed", None)
+        if batch_filter is not None:
+            passed = batch_filter(oriented_all)
+        else:
+            passed = np.array([all_read_kmers_in_index(k, r, kmer_index)
+                               for r in oriented_all])
+        rows = []
+        for j, (i, oriented) in enumerate(zip(owners, oriented_all)):
+            if passed[j]:
                 rows.append((i, oriented))
+            else:
+                stats.missing_kmer_reads_count += 1
 
         if not rows:
             return results
@@ -313,9 +330,16 @@ class FlatBatchedEngine:
                 reads_T[: body.size, row] = body
 
         if steps > 0 and cursor > 0:
+            import logging
+            import time
+            t0 = time.perf_counter()
             fn = make_flat_search(self.di, self.cfg, R)
             out = fn(jnp.asarray(reads_T), jax.device_put(carry))
+            jax.block_until_ready(out)
             carry_np = jax.tree_util.tree_map(np.asarray, out)
+            logging.getLogger("gramtools_tpu").debug(
+                "device search: %d rows, %d seed states, %.2fs",
+                len(rows), cursor, time.perf_counter() - t0)
         else:
             carry_np = carry
         (f_read_id, f_lo, f_hi, f_trav, f_n_trav, f_ing, f_n_ing,

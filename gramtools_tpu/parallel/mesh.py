@@ -108,3 +108,87 @@ def run_sharded_quasimap(mesh: Mesh, di: DeviceIndex, reads: "list[np.ndarray]",
 
     fn = make_sharded_quasimap(mesh, di, num_sites, max_alleles)
     return fn(jnp.asarray(reads_T), jax.device_put(carry))
+
+
+# --- flat-pool engine over the mesh ----------------------------------------
+
+
+def make_sharded_flat_quasimap(mesh: Mesh, di: DeviceIndex, cfg,
+                               reads_per_shard: int, num_sites: int,
+                               max_alleles: int):
+    """Data-parallel flat-pool search (search_jax_flat): each shard owns a
+    local state pool + its slice of the read batch; per-site coverage is
+    accumulated from final traversed paths and psum-reduced over ICI."""
+    from ..mapping.search_jax_flat import _build_flat_step
+
+    def shard_fn(di, reads_T, carry):
+        step = _build_flat_step(di, cfg, reads_per_shard)
+        final, _ = jax.lax.scan(step, carry, reads_T)
+        read_id, lo, hi, trav, n_trav, ing, n_ing, overflow = final
+
+        valid = read_id >= 0
+        site_idx = (trav[..., 0] - 5) // 2                    # (N,P)
+        allele_idx = trav[..., 1]
+        in_path = (jnp.arange(trav.shape[1])[None, :]
+                   < n_trav[:, None]) & valid[:, None]
+        flat = jnp.where(in_path,
+                         site_idx * max_alleles + jnp.clip(allele_idx, 0),
+                         num_sites * max_alleles)
+        cov = jnp.zeros(num_sites * max_alleles + 1, dtype=jnp.int32)
+        cov = cov.at[flat.reshape(-1)].add(1)
+        cov = cov[:-1].reshape(num_sites, max_alleles)
+        cov = jax.lax.psum(cov, axis_name="data")
+        return final, cov
+
+    di_specs = jax.tree_util.tree_map(lambda _: P(), di)
+    carry_specs = (P("data"),) * 7 + (P("data"),)
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(di_specs, P(None, "data"), carry_specs),
+        out_specs=(carry_specs, P(None, None)),
+        check_rep=False,
+    )
+    return partial(jax.jit(sharded), di)
+
+
+def run_sharded_flat_quasimap(mesh: Mesh, di: DeviceIndex,
+                              reads: "list[np.ndarray]", num_sites: int,
+                              max_alleles: int):
+    """Seedless sharded mapping of same-length reads through the flat
+    engine; returns (final_carry, global_coverage)."""
+    from ..mapping.search_jax_flat import FlatConfig, empty_flat_carry
+
+    n_dev = mesh.devices.size
+    R = ((len(reads) + n_dev - 1) // n_dev) * n_dev
+    reads_per_shard = R // n_dev
+    pool_per_shard = max(4 * reads_per_shard, 8)
+    shard_cfg = FlatConfig(pool=pool_per_shard,
+                           hits=max(reads_per_shard // 2, 8))
+    global_cfg = FlatConfig(pool=pool_per_shard * n_dev,
+                            hits=shard_cfg.hits * n_dev)
+
+    max_len = max(r.size for r in reads)
+    steps = max_len - 1
+    reads_T = np.zeros((steps, R), dtype=np.int32)
+    carry = empty_flat_carry(R, global_cfg)
+    read_id, lo, hi = carry[0], carry[1], carry[2]
+
+    occ = np.asarray(di.occ)
+    sym_start = np.asarray(di.sym_start)
+    for row, read in enumerate(reads):
+        shard = row // reads_per_shard
+        local_row = row % reads_per_shard
+        slot = shard * pool_per_shard + local_row  # one seed state per read
+        base = int(read[-1])
+        first = sym_start[base]
+        read_id[slot] = local_row
+        lo[slot] = first
+        hi[slot] = first + occ[di.size, base - 1] - 1
+        if lo[slot] > hi[slot]:
+            read_id[slot] = -1
+        body = read[:-1][::-1]
+        reads_T[: body.size, row] = body
+
+    fn = make_sharded_flat_quasimap(mesh, di, shard_cfg, reads_per_shard,
+                                    num_sites, max_alleles)
+    return fn(jnp.asarray(reads_T), jax.device_put(carry))
