@@ -217,12 +217,18 @@ class FlatBatchedEngine:
 
     def __init__(self, idx: PrgIndex, kmer_size: int,
                  cfg: Optional[FlatConfig] = None):
+        import os
+
         from ..common.jax_setup import enable_compile_cache
         enable_compile_cache()
         self.idx = idx
         self.kmer_size = kmer_size
         self.di = DeviceIndex.build(idx)
-        self.cfg = cfg or FlatConfig()
+        if cfg is None:
+            cfg = FlatConfig(
+                pool=int(os.environ.get("GRAMTOOLS_TPU_POOL", FlatConfig.pool)),
+                hits=int(os.environ.get("GRAMTOOLS_TPU_HITS", FlatConfig.hits)))
+        self.cfg = cfg
         self.host_fallbacks = 0
         self.device_mapped = 0
 
