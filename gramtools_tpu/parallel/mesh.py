@@ -76,7 +76,7 @@ def make_sharded_quasimap(mesh: Mesh, di: DeviceIndex, num_sites: int,
         shard_fn, mesh=mesh,
         in_specs=(di_specs, P(None, "data"), (P("data"),) * 7 + (P("data"),)),
         out_specs=((P("data"),) * 7 + (P("data"),), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     jitted = jax.jit(sharded)
     return partial(jitted, di)
@@ -149,7 +149,7 @@ def make_sharded_flat_quasimap(mesh: Mesh, di: DeviceIndex, cfg,
         shard_fn, mesh=mesh,
         in_specs=(di_specs, P(None, "data"), carry_specs),
         out_specs=(carry_specs, P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return partial(jax.jit(sharded), di)
 
