@@ -117,28 +117,54 @@ def combine_json_prgs(first: dict, second: dict) -> dict:
     result = json.loads(json.dumps(first))  # deep copy
     result["Samples"] = first["Samples"] + second["Samples"]
     for site_1, site_2 in zip(result["Sites"], second["Sites"]):
-        for key in SINGLETON:
-            if site_1.get(key) != site_2.get(key):
-                raise JSONCombineError(f"sites differ on {key}")
-        # allele union, preserving order of first then new alleles of second
-        als = list(site_1["ALS"])
-        index_of = {a: i for i, a in enumerate(als)}
-        rebase = []
-        for a in site_2["ALS"]:
-            if a not in index_of:
-                index_of[a] = len(als)
-                als.append(a)
-            rebase.append(index_of[a])
-        site_1["ALS"] = als
-        for key in TRIVIALLY_MERGED:
-            if key not in site_1:  # model-specific entries may be absent
-                continue
-            if key == "GT":
-                for sample_gt in site_2["GT"]:
-                    if sample_gt == [None] or sample_gt is None:
-                        site_1["GT"].append(sample_gt)
-                    else:
-                        site_1["GT"].append([rebase[g] for g in sample_gt])
-            else:
-                site_1[key] = site_1[key] + site_2[key]
+        combine_json_sites(site_1, site_2)
     return result
+
+
+def combine_json_sites(site_1: dict, site_2: dict):
+    """In-place merge of one site's per-sample entries
+    (json_site_spec.cpp:110-135): allele union re-indexes GT, and COV
+    vectors are rescaled onto the union allele list (absent alleles get
+    coverage 0)."""
+    for key in SINGLETON:
+        if site_1.get(key) != site_2.get(key):
+            raise JSONCombineError(f"sites differ on {key}")
+    if site_1["ALS"][0] != site_2["ALS"][0]:
+        raise JSONCombineError("sites differ on the REF allele")
+
+    als = list(site_1["ALS"])
+    index_of = {a: i for i, a in enumerate(als)}
+    rebase = []
+    for a in site_2["ALS"]:
+        if a not in index_of:
+            index_of[a] = len(als)
+            als.append(a)
+        rebase.append(index_of[a])
+    site_1["ALS"] = als
+
+    def rescale_cov(cov, mapping):
+        out = [0] * len(als)
+        for i, value in enumerate(cov):
+            if i < len(mapping):
+                out[mapping[i]] = value
+        return out
+
+    identity = list(range(len(als)))
+    for key in TRIVIALLY_MERGED:
+        if key not in site_1 or key not in site_2:
+            continue
+        if key == "GT":
+            for sample_gt in site_2["GT"]:
+                if sample_gt == [None] or sample_gt is None:
+                    site_1["GT"].append(sample_gt)
+                else:
+                    site_1["GT"].append([rebase[g] for g in sample_gt])
+        elif key == "COV":
+            for c in site_2["COV"]:
+                if len(c) != len(site_2["ALS"]):
+                    raise JSONCombineError(
+                        "COV and ALS of different cardinality")
+            site_1["COV"] = [rescale_cov(c, identity) for c in site_1["COV"]]
+            site_1["COV"] += [rescale_cov(c, rebase) for c in site_2["COV"]]
+        else:
+            site_1[key] = site_1[key] + site_2[key]
