@@ -87,7 +87,8 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
     log.info("Running quasimap")
     with timer.phase("Quasimap"):
         stats, coverage = quasimap_reads(read_files, kmer_index, idx, kmer_size,
-                                         seed=args.seed, engine=engine)
+                                         seed=args.seed, engine=engine,
+                                         max_threads=getattr(args, "max_threads", 1))
         read_stats.compute_coverage_depth(coverage, idx)
     read_stats.serialise(geno_paths.read_stats)
     log.info("Mapping stats: %s", stats.as_dict())

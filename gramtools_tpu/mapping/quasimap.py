@@ -106,44 +106,57 @@ def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
 
 def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                    idx: PrgIndex, kmer_size: int, seed: Optional[int] = None,
-                   engine=None) -> "tuple[QuasimapStats, Coverage]":
+                   engine=None, max_threads: int = 1
+                   ) -> "tuple[QuasimapStats, Coverage]":
     """quasimap.cpp:16-141. ``engine`` optionally provides a batched
     (JAX) search path: called with a list of reads, returns per-read
-    SearchStates lists, or None entries for reads it could not handle."""
+    SearchStates lists, or None entries for reads it could not handle.
+    ``max_threads`` > 1 forks worker processes over buffer chunks (the
+    reference's OpenMP parallel-for analogue); per-read seeds keep the
+    selection RNG shard-invariant."""
     stats = QuasimapStats()
     coverage = Coverage.empty(idx)
     master_seed_generator = RandomInclusiveInt(seed)
 
-    for reads_fpath in reads_fpaths:
-        for buffer in iter_read_buffers(reads_fpath):
-            # one seed drawn per buffer slot, even for unfilled slots
-            # (quasimap.cpp:136-137): preserves RNG stream parity
-            selection_seeds = [master_seed_generator._raw()
-                               for _ in range(READS_BUFFER_SIZE)]
-            first_raws = first_raw_draws(np.asarray(selection_seeds,
-                                                    dtype=np.uint32))
-            if engine is not None:
-                _map_buffer_batched(buffer, selection_seeds, first_raws,
-                                    coverage, kmer_index, idx, kmer_size,
-                                    stats, engine)
-            else:
-                for i, read in enumerate(buffer):
-                    stats.all_reads_count += 2
-                    if read.size == 0:
-                        stats.skipped_reads_count += 2
-                        continue
-                    quasimap_forward_reverse(read, coverage, kmer_index, idx,
-                                             kmer_size, stats,
-                                             selection_seeds[i],
-                                             int(first_raws[i]))
+    pool = _make_pool(max_threads, idx, kmer_index, kmer_size)
+    try:
+        for reads_fpath in reads_fpaths:
+            for buffer in iter_read_buffers(reads_fpath):
+                # one seed drawn per buffer slot, even for unfilled slots
+                # (quasimap.cpp:136-137): preserves RNG stream parity
+                selection_seeds = [master_seed_generator._raw()
+                                   for _ in range(READS_BUFFER_SIZE)]
+                first_raws = first_raw_draws(np.asarray(selection_seeds,
+                                                        dtype=np.uint32))
+                if engine is not None:
+                    _map_buffer_batched(buffer, selection_seeds, first_raws,
+                                        coverage, kmer_index, idx, kmer_size,
+                                        stats, engine, pool)
+                elif pool is not None:
+                    _map_buffer_pool(buffer, selection_seeds, first_raws,
+                                     coverage, idx, stats, pool)
+                else:
+                    for i, read in enumerate(buffer):
+                        stats.all_reads_count += 2
+                        if read.size == 0:
+                            stats.skipped_reads_count += 2
+                            continue
+                        quasimap_forward_reverse(read, coverage, kmer_index,
+                                                 idx, kmer_size, stats,
+                                                 selection_seeds[i],
+                                                 int(first_raws[i]))
+    finally:
+        if pool is not None:
+            pool.terminate()
     return stats, coverage
 
 
 def _map_buffer_batched(buffer, selection_seeds, first_raws, coverage,
-                        kmer_index, idx, kmer_size, stats, engine):
+                        kmer_index, idx, kmer_size, stats, engine, pool=None):
     """Batched path: the engine searches fwd+rev in one device batch;
-    coverage recording stays on host (cheap per mapped read)."""
+    coverage recording stays on host (forked workers when pool given)."""
     results = engine.search_buffer(buffer, kmer_index, kmer_size, stats)
+    items = []
     for i, read in enumerate(buffer):
         if read.size == 0:
             continue
@@ -151,6 +164,86 @@ def _map_buffer_batched(buffer, selection_seeds, first_raws, coverage,
             if not states:
                 stats.no_extension_reads_count += 1
                 continue
-            record_search_states(coverage, states, read_len, idx,
-                                 selection_seeds[i], int(first_raws[i]))
+            items.append((states, read_len, selection_seeds[i],
+                          int(first_raws[i])))
             stats.exact_mapped_reads_count += 1
+    if pool is None:
+        for states, read_len, seed_i, first in items:
+            record_search_states(coverage, states, read_len, idx, seed_i, first)
+    else:
+        chunks = _chunk(items, pool._processes)
+        for cov_shard, pb_delta in pool.map(_record_chunk, chunks):
+            coverage.merge(cov_shard)
+            _merge_pb(idx.graph.coverage, pb_delta)
+
+
+def _map_buffer_pool(buffer, selection_seeds, first_raws, coverage, idx,
+                     stats, pool):
+    """Host scalar mapping farmed out to forked workers (the reference's
+    #pragma omp parallel for over the buffer, quasimap.cpp:90-117)."""
+    items = [(read, selection_seeds[i], int(first_raws[i]))
+             for i, read in enumerate(buffer)]
+    chunks = _chunk(items, pool._processes)
+    for cov_shard, pb_delta, stat_delta in pool.map(_map_chunk, chunks):
+        coverage.merge(cov_shard)
+        _merge_pb(idx.graph.coverage, pb_delta)
+        for key, val in stat_delta.items():
+            setattr(stats, key, getattr(stats, key) + val)
+
+
+def _chunk(items, n):
+    size = max((len(items) + n - 1) // n, 1)
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+def _merge_pb(target: np.ndarray, delta: np.ndarray):
+    """Merge per-base coverage shards with uint16 saturation."""
+    if target.size == 0:
+        return
+    merged = target.astype(np.int64) + delta.astype(np.int64)
+    np.minimum(merged, np.iinfo(np.uint16).max, out=merged)
+    target[:] = merged.astype(np.uint16)
+
+
+# --- forked worker machinery -------------------------------------------------
+
+_POOL_CTX: Dict[str, object] = {}
+
+
+def _make_pool(max_threads, idx, kmer_index, kmer_size):
+    if max_threads <= 1:
+        return None
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    # children inherit the index structures by fork; no pickling
+    _POOL_CTX["idx"] = idx
+    _POOL_CTX["kmer_index"] = kmer_index
+    _POOL_CTX["kmer_size"] = kmer_size
+    return ctx.Pool(processes=max_threads)
+
+
+def _record_chunk(items):
+    idx = _POOL_CTX["idx"]
+    idx.graph.coverage[:] = 0  # worker-local copy-on-write slate
+    cov = Coverage.empty(idx)
+    for states, read_len, seed_i, first in items:
+        record_search_states(cov, states, read_len, idx, seed_i, first)
+    return cov, idx.graph.coverage
+
+
+def _map_chunk(items):
+    idx = _POOL_CTX["idx"]
+    kmer_index = _POOL_CTX["kmer_index"]
+    kmer_size = _POOL_CTX["kmer_size"]
+    idx.graph.coverage[:] = 0
+    cov = Coverage.empty(idx)
+    stats = QuasimapStats()
+    for read, seed_i, first in items:
+        stats.all_reads_count += 2
+        if read.size == 0:
+            stats.skipped_reads_count += 2
+            continue
+        quasimap_forward_reverse(read, cov, kmer_index, idx, kmer_size,
+                                 stats, seed_i, first)
+    return cov, idx.graph.coverage, stats.as_dict()
