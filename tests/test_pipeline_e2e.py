@@ -122,6 +122,31 @@ def test_simulate_induce_genotypes(it1_run, tmp_path):
     assert sites[1]["GT"] == [[0]]          # TTTT (ref)
 
 
+def test_build_from_prgs_bed_and_genotype(tmp_path):
+    """--prgs_bed CLI path: MSA region + invariant flanks -> genotype."""
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">c1\nAAAATTTTCCCCGGGG\n")
+    msa = tmp_path / "region1.msa.fa"
+    msa.write_text(">s1\nTTTT\n>s2\nTATT\n")
+    bed = tmp_path / "regions.bed"
+    bed.write_text(f"c1\t4\t8\t{msa}\n")
+    assert run(["build", "--gram_dir", str(tmp_path / "gram"),
+                "--prgs_bed", str(bed), "--ref", str(ref),
+                "--kmer_size", "4", "--force"]) == 0
+    reads = tmp_path / "reads.fastq"
+    reads.write_text("@r0\nAAAATATTCCCC\n+\nIIIIIIIIIIII\n" * 1)
+    assert run(["genotype", "--gram_dir", str(tmp_path / "gram"),
+                "--genotype_dir", str(tmp_path / "geno"),
+                "--reads", str(reads), "--sample_id", "s", "--force"]) == 0
+    # the MSA collapses to a single SNP column: T[T,A]TT
+    j = json.load(open(tmp_path / "geno" / "genotype" / "genotyped.json"))
+    called = j["Sites"][0]["ALS"][j["Sites"][0]["GT"][0][0]]
+    assert called == "A"
+    pers = (tmp_path / "geno" / "genotype" /
+            "personalised_reference.fasta").read_text()
+    assert "AAAATATTCCCCGGGG" in pers.replace("\n", "")
+
+
 def test_discover_with_precomputed_vcf(it1_run, tmp_path):
     # variant against pers ref AAATAACTTTT: pos 6 A->G (inside invariant)
     discov = tmp_path / "discov.vcf"
