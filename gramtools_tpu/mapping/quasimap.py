@@ -168,8 +168,21 @@ def _map_buffer_batched(buffer, selection_seeds, first_raws, coverage,
                           int(first_raws[i])))
             stats.exact_mapped_reads_count += 1
     if pool is None:
+        # selection + dense counts per read; per-base recording batched
+        # over the whole buffer (coverage_vec.py)
+        from .coverage import (record_allele_sum, record_grouped_counts,
+                               select_mapping_instance)
+        from .coverage_vec import record_per_base_batch
+
+        per_read = []
         for states, read_len, seed_i, first in items:
-            record_search_states(coverage, states, read_len, idx, seed_i, first)
+            selected = select_mapping_instance(states, idx, seed_i, first)
+            if not selected.states:
+                continue
+            per_read.append((selected.states, read_len))
+            record_allele_sum(coverage, selected.loci)
+            record_grouped_counts(coverage, selected.loci)
+        record_per_base_batch(idx, per_read)
     else:
         chunks = _chunk(items, pool._processes)
         for cov_shard, pb_delta in pool.map(_record_chunk, chunks):

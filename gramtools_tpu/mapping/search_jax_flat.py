@@ -224,6 +224,7 @@ class FlatBatchedEngine:
         self.idx = idx
         self.kmer_size = kmer_size
         self.di = DeviceIndex.build(idx)
+        idx.graph.node_tables()  # pre-build for the batched coverage recorder
         if cfg is None:
             cfg = FlatConfig(
                 pool=int(os.environ.get("GRAMTOOLS_TPU_POOL", FlatConfig.pool)),

@@ -117,6 +117,32 @@ class CoverageGraph:
             return np.empty(0, dtype=np.uint16)
         return self.coverage[n.cov_start : n.cov_start + n.seq_size]
 
+    def node_tables(self) -> "NodeTables":
+        """Flat numpy views of the node list for vectorised graph walks
+        (built lazily, cached)."""
+        if getattr(self, "_node_tables", None) is None:
+            self._node_tables = NodeTables(self)
+        return self._node_tables
+
+
+class NodeTables:
+    """Structure-of-arrays projection of CovNode fields + CSR edges."""
+
+    def __init__(self, g: "CoverageGraph"):
+        n = len(g.nodes)
+        self.seq_len = np.array([nd.seq_size for nd in g.nodes], dtype=np.int32)
+        self.cov_start = np.array([nd.cov_start for nd in g.nodes],
+                                  dtype=np.int64)
+        self.n_edges = np.array([len(nd.edges) for nd in g.nodes],
+                                dtype=np.int32)
+        self.edge_offset = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(self.n_edges, out=self.edge_offset[1:])
+        self.edges = np.fromiter(
+            (e for nd in g.nodes for e in nd.edges),
+            dtype=np.int32, count=int(self.edge_offset[-1]))
+        in_bubble = np.array([nd.in_bubble() for nd in g.nodes], dtype=bool)
+        self.in_bubble = in_bubble
+
 
 class _GraphBuilder:
     """Single pass over the linear PRG, marker-segment at a time.
