@@ -99,7 +99,7 @@ def _setup_simulate(common, subparsers):
                         help="Number of paths through the prg to simulate")
     parser.add_argument("--sample_id", default="sim",
                         help="Name for the output files")
-    parser.add_argument("--induce_genotypes", default="",
+    parser.add_argument("-i", "--induce_genotypes", default="",
                         help="Fasta of sequences to thread through the prg")
     parser.add_argument("--seed", type=int, default=None,
                         help="Fixes seed for random path sampling")
