@@ -15,7 +15,7 @@ A `SearchState` is (sa_lo, sa_hi, traversed, traversing):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

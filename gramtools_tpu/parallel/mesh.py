@@ -11,7 +11,7 @@ accumulators are all-reduced with psum over ICI -- no locks, no atomics.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..common.seq import decode_dna
 from .linearise import PrgString
-from .markers import ALLELE_UNKNOWN, FIRST_ALLELE, is_site_marker
+from .markers import ALLELE_UNKNOWN, FIRST_ALLELE
 
 # marker_type enum parity (coverage_graph.hpp:125)
 SEQ, SITE_ENTRY, ALLELE_END, SITE_END = 0, 1, 2, 3

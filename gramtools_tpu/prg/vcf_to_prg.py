@@ -14,7 +14,7 @@ Behaviour (as in the reference):
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
