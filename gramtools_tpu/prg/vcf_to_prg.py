@@ -178,6 +178,9 @@ def cluster_vcf_records(records: List[VcfRecord]) -> List[VcfRecord]:
 
 
 def _merge_cluster(cluster: List[VcfRecord]) -> VcfRecord:
+    """Enumerate all haplotypes combining any mutually non-overlapping
+    subset of the cluster's records (each contributing one of its ALTs),
+    capped at MAX_ALLELES_PER_CLUSTER -- VcfClusterer semantics."""
     if len(cluster) == 1:
         return cluster[0]
     start = min(r.pos for r in cluster)
@@ -189,29 +192,38 @@ def _merge_cluster(cluster: List[VcfRecord]) -> VcfRecord:
         for i, c in enumerate(r.ref):
             ref_span[r.pos - start + i] = c
     ref = "".join(ref_span)
+    recs = sorted(cluster, key=lambda r: (r.pos, r.stop))
+
     alleles = {ref}
     ordered: List[str] = []
 
-    def add(h: str):
-        if h not in alleles and len(ordered) < MAX_ALLELES_PER_CLUSTER:
+    def add(h: str) -> bool:
+        if len(ordered) >= MAX_ALLELES_PER_CLUSTER:
+            return False
+        if h not in alleles:
             alleles.add(h)
             ordered.append(h)
+        return True
 
-    # single-record haplotypes
-    for r in cluster:
-        off = r.pos - start
-        for alt in r.alts:
-            add(ref[:off] + alt + ref[off + len(r.ref):])
-    # pairwise combinations of non-overlapping records
-    for i, r1 in enumerate(cluster):
-        for r2 in cluster[i + 1:]:
-            if r2.pos > r1.stop:
-                for alt1 in r1.alts:
-                    for alt2 in r2.alts:
-                        h = (ref[: r1.pos - start] + alt1
-                             + ref[r1.stop - start + 1 : r2.pos - start]
-                             + alt2 + ref[r2.stop - start + 1 :])
-                        add(h)
+    def expand(i: int, cursor: int, prefix: str, used_any: bool) -> bool:
+        """DFS over records i..; cursor = next unconsumed base-ref pos."""
+        if i == len(recs):
+            if used_any:
+                return add(prefix + ref[cursor - start :])
+            return True
+        # option A: skip record i
+        if not expand(i + 1, cursor, prefix, used_any):
+            return False
+        # option B: apply each ALT of record i (if it fits after cursor)
+        r = recs[i]
+        if r.pos >= cursor:
+            gap = ref[cursor - start : r.pos - start]
+            for alt in r.alts:
+                if not expand(i + 1, r.stop + 1, prefix + gap + alt, True):
+                    return False
+        return True
+
+    expand(0, start, "", False)
     return VcfRecord(chrom=cluster[0].chrom, pos=start, id=".", ref=ref,
                      alts=tuple(ordered), qual=".", filter=("PASS",),
                      info=".")
