@@ -79,6 +79,21 @@ def hash_command_paths(command_paths):
     return out
 
 
+def _version_report():
+    """Parity: gramtools/version/report.py (version + embedded commit)."""
+    info = {"version_number": __version__}
+    try:
+        import subprocess
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=5)
+        if commit.returncode == 0:
+            info["last_git_commit_hash"] = commit.stdout.strip()
+    except Exception:
+        pass
+    return info
+
+
 def save_report(report, command_paths, command_hash_paths=None):
     end_time = str(time.time()).split(".")[0]
     start_time = report.pop("start_time", end_time)
@@ -87,7 +102,7 @@ def save_report(report, command_paths, command_hash_paths=None):
         ("current_working_directory", os.getcwd()),
         ("paths", command_paths.dict()),
         ("path_hashes", command_hash_paths),
-        ("version_report", {"version_number": __version__}),
+        ("version_report", _version_report()),
     ]))
     with open(command_paths.report, "w") as fh:
         json.dump(report, fh, indent=4)
