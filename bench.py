@@ -143,6 +143,10 @@ def main():
         read_id, lo, hi, trav, n_trav, ing, n_ing, _ = carry
         owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = kmer_index.seed_batch(
             reads_arr[:, READ_LEN - k:])
+        if s_trav.shape[1] < cfg.path:
+            pad = ((0, 0), (0, cfg.path - s_trav.shape[1]), (0, 0))
+            s_trav = np.pad(s_trav, pad)
+            s_ing = np.pad(s_ing, pad)
         n_states = min(owner.size, cfg.pool)
         read_id[:n_states] = owner[:n_states]
         lo[:n_states] = s_lo[:n_states]

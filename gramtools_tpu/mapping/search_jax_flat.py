@@ -44,6 +44,9 @@ from .search_jax import DeviceIndex, MAX_PATH, _next_pow2, _round_up
 class FlatConfig:
     pool: int = 16384    # N: live states across the whole batch
     hits: int = 2048     # G: marker hits processed per step (global)
+    # path capacity: reads crossing more sites than this overflow to the
+    # exact host engine; 8 keeps the known-fast compiled shape (raise via
+    # FlatConfig(path=...) when overflow rates warrant it)
     path: int = MAX_PATH
 
 
@@ -282,7 +285,7 @@ class FlatBatchedEngine:
 
         seed_fn = getattr(kmer_index, "seed_batch", None)
         if seed_fn is not None and getattr(kmer_index, "trav", None) is not None \
-                and kmer_index.trav.shape[1] == P:
+                and kmer_index.trav.shape[1] <= P:
             # vectorised seeding from the array-backed kmer index
             last_kmers = np.zeros((len(rows), k), dtype=np.uint8)
             for row, (i, read) in enumerate(rows):
@@ -290,6 +293,10 @@ class FlatBatchedEngine:
                 body = read[: read.size - k][::-1]
                 reads_T[: body.size, row] = body
             owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = seed_fn(last_kmers)
+            if s_trav.shape[1] < P:  # pad kmer path capacity to engine's
+                pad = ((0, 0), (0, P - s_trav.shape[1]), (0, 0))
+                s_trav = np.pad(s_trav, pad)
+                s_ing = np.pad(s_ing, pad)
             n_states = owner.size
             if n_states > self.cfg.pool:
                 # rows whose seeds do not fit go to the host engine
