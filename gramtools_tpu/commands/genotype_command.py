@@ -92,8 +92,16 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
         read_stats.compute_coverage_depth(coverage, idx)
     read_stats.serialise(geno_paths.read_stats)
     log.info("Mapping stats: %s", stats.as_dict())
-    geno_report["processes"][action] = collections.OrderedDict(
+    process_report = collections.OrderedDict(
         [("mapping_stats", stats.as_dict())])
+    if engine is not None:
+        process_report["engine"] = {
+            "device_mapped": engine.device_mapped,
+            "host_fallbacks": engine.host_fallbacks,
+        }
+        log.info("Engine: %d device-mapped, %d host fallbacks",
+                 engine.device_mapped, engine.host_fallbacks)
+    geno_report["processes"][action] = process_report
 
     with timer.phase("Coverage dumps"):
         dump_all(coverage, idx, geno_paths.allele_sum_cov, geno_paths.pb_cov,
