@@ -102,3 +102,37 @@ def test_pipeline_invariants(tmp_path, seed):
         BisectTarget, SearchableSeqRegionsMap)
     smap = SearchableSeqRegionsMap.load_from(geno / "rebasing_map.json")
     assert smap.bisect("chr1", 1, BisectTarget.PERS_REF) == 0
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_pipeline_invariants_diploid(tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    try:
+        prg_str = random_prg(rng, num_sites=4, nested=True)
+        prg = PrgString(prg_string_to_ints(prg_str))
+        graph = build_cov_graph(prg)
+    except ValueError:
+        pytest.skip("inconsistent random PRG")
+    prg_file = tmp_path / "prg.bin"
+    prg.write(prg_file)
+    ref = tmp_path / "ref.fa"
+    ref.write_text(f">chr1\n{get_first_prg_path(graph)}\n")
+    reads_file = tmp_path / "reads.fastq"
+    reads = sample_path_reads(rng, graph, 40, 10)
+    with open(reads_file, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    assert run(["build", "--gram_dir", str(tmp_path / "gram"),
+                "--prg", str(prg_file), "--ref", str(ref),
+                "--kmer_size", "4", "--force"]) == 0
+    assert run(["genotype", "--gram_dir", str(tmp_path / "gram"),
+                "--genotype_dir", str(tmp_path / "geno"),
+                "--reads", str(reads_file), "--sample_id", "fuzz",
+                "--ploidy", "diploid", "--seed", "3", "--force"]) == 0
+    j = json.load(open(tmp_path / "geno" / "genotype" / "genotyped.json"))
+    for site in j["Sites"]:
+        gts = site["GT"][0]
+        if gts != [None]:
+            assert len(gts) == 2
+            for gt in gts:
+                assert 0 <= gt < len(site["ALS"])
