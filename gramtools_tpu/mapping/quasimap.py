@@ -114,14 +114,22 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
     ``max_threads`` > 1 forks worker processes over buffer chunks (the
     reference's OpenMP parallel-for analogue); per-read seeds keep the
     selection RNG shard-invariant."""
+    import logging
+    log = logging.getLogger("gramtools_tpu")
+
     stats = QuasimapStats()
     coverage = Coverage.empty(idx)
     master_seed_generator = RandomInclusiveInt(seed)
+    last_reported = 0
 
     pool = _make_pool(max_threads, idx, kmer_index, kmer_size)
     try:
         for reads_fpath in reads_fpaths:
             for buffer in iter_read_buffers(reads_fpath):
+                # progress every >=10k processed reads (quasimap.cpp:92-101)
+                if stats.all_reads_count - last_reported >= 10000:
+                    log.info("processed %d reads", stats.all_reads_count)
+                    last_reported = stats.all_reads_count
                 # one seed drawn per buffer slot, even for unfilled slots
                 # (quasimap.cpp:136-137): preserves RNG stream parity
                 selection_seeds = [master_seed_generator._raw()
