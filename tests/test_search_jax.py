@@ -43,12 +43,24 @@ def states_key(states):
     return sorted((s.lo, s.hi, s.traversed, s.traversing) for s in states)
 
 
+HARD_NESTED_PRGS = [
+    "A[[A[CCC,C],T],G]TA",                 # double nesting
+    "A[T[TT,T]T,A[AT,]A]G[C,G]",           # nesting + deletion + SNP
+    "T[A[C,G][C,G],]T",                    # adjacent nested sites + deletion
+]
+
+
 @pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine])
 @pytest.mark.parametrize("seed,nested", [(0, False), (1, False), (2, True),
-                                         (3, True), (4, True)])
+                                         (3, True), (4, True),
+                                         (100, "hard0"), (101, "hard1"),
+                                         (102, "hard2")])
 def test_batched_matches_host_random(seed, nested, engine_cls):
     rng = np.random.RandomState(seed)
-    prg_str = random_prg(rng, nested=nested)
+    if isinstance(nested, str):
+        prg_str = HARD_NESTED_PRGS[int(nested[-1])]
+    else:
+        prg_str = random_prg(rng, nested=nested)
     try:
         prg = PrgString(prg_string_to_ints(prg_str))
         idx = build_prg_index(prg)
