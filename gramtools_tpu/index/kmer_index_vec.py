@@ -235,8 +235,23 @@ class ArrayKmerIndex:
         return bool(np.all((pos < self.codes.size)
                            & (self.codes[pos_c] == codes)))
 
+    def _presence_bitmap(self):
+        """Dense kmer-presence table (4^k bools, lazily built): O(1)
+        membership instead of binary search. 16MB at k=12; falls back to
+        searchsorted beyond 2^28 codes."""
+        if getattr(self, "_present", None) is None:
+            space = 4 ** self.kmer_size
+            if space > 2 ** 28:
+                self._present = False
+            else:
+                present = np.zeros(space, dtype=bool)
+                present[self.codes] = True
+                self._present = present
+        return None if self._present is False else self._present
+
     def batch_all_indexed(self, reads: List[np.ndarray]) -> np.ndarray:
-        """all_kmers_indexed for a whole batch in one searchsorted pass."""
+        """all_kmers_indexed for a whole batch: one window matmul + one
+        searchsorted over the concatenation of every read's kmers."""
         k = self.kmer_size
         sizes = np.array([r.size for r in reads])
         ok = sizes >= k
@@ -244,19 +259,34 @@ class ArrayKmerIndex:
         if not use:
             return ok & False
         powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
-        code_chunks = []
+        # concatenate reads with a -1 sentinel between them: windows
+        # crossing a boundary contain the sentinel and are masked out
+        total = int(sum(r.size for r in use)) + len(use) - 1
+        flat = np.full(total, -1, dtype=np.int64)
+        cursor = 0
         counts = []
         for r in use:
-            w = np.lib.stride_tricks.sliding_window_view(
-                r.astype(np.int64) - 1, k)
-            code_chunks.append(w @ powers)
-            counts.append(w.shape[0])
-        codes = np.concatenate(code_chunks)
-        pos = np.searchsorted(self.codes, codes)
-        pos_c = np.clip(pos, 0, max(self.codes.size - 1, 0))
-        hit = (pos < self.codes.size) & (self.codes[pos_c] == codes)
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        all_hit = np.minimum.reduceat(hit.astype(np.int8), offsets).astype(bool)
+            flat[cursor : cursor + r.size] = r.astype(np.int64) - 1
+            cursor += r.size + 1
+            counts.append(r.size - k + 1)
+        windows = np.lib.stride_tricks.sliding_window_view(flat, k)
+        in_read = ~(windows < 0).any(axis=1)
+        codes = windows @ powers
+        present = self._presence_bitmap()
+        if present is not None:
+            hit = present[np.where(in_read, codes, 0)] | ~in_read
+        else:
+            pos = np.searchsorted(self.codes, codes)
+            pos_c = np.clip(pos, 0, max(self.codes.size - 1, 0))
+            hit = ((pos < self.codes.size)
+                   & (self.codes[pos_c] == codes)) | ~in_read
+        # per-read verdict: all in-read windows hit
+        starts = np.concatenate(
+            [[0], (np.cumsum(sizes[ok] + 1))[:-1]]).astype(np.int64)
+        # window w belongs to read r iff starts[r] <= w < starts[r]+counts[r];
+        # reduceat over hit with read start offsets covers exactly those
+        # windows plus the sentinel-masked gaps (which are forced True)
+        all_hit = np.minimum.reduceat(hit.astype(np.int8), starts).astype(bool)
         out = ok.copy()
         out[ok] = all_hit
         return out
