@@ -28,6 +28,7 @@ KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
 HOST_READS = int(os.environ.get("BENCH_HOST_READS", "20"))
+ENGINE = os.environ.get("BENCH_ENGINE", "log")  # log | flat
 
 
 def build_synthetic_mtb_graph(rng, genome_len, num_sites):
@@ -125,36 +126,47 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from gramtools_tpu.mapping.search_jax_flat import (
-        FlatConfig, empty_flat_carry, make_flat_search)
 
-    # pool sized for ~3 live states/read on SNP-dense graphs; hit budget
-    # tracks actual marker-crossing volume per step
-    cfg = FlatConfig(pool=int(os.environ.get("BENCH_POOL", 4 * BATCH)),
-                     hits=int(os.environ.get("BENCH_HITS", BATCH // 4)))
-    search = make_flat_search(di, cfg, BATCH)
+    pool = int(os.environ.get("BENCH_POOL", 4 * BATCH))
+    hits = int(os.environ.get("BENCH_HITS", BATCH // 4))
+    if ENGINE == "log":
+        from gramtools_tpu.mapping.search_jax_log import (
+            LogConfig, empty_log_carry, make_log_search)
+        cfg = LogConfig(pool=pool, hits=hits)
+        search = make_log_search(di, cfg, BATCH)
+        empty_carry_fn = lambda R: empty_log_carry(R, cfg)
+    else:
+        from gramtools_tpu.mapping.search_jax_flat import (
+            FlatConfig, empty_flat_carry, make_flat_search)
+        cfg = FlatConfig(pool=pool, hits=hits)
+        search = make_flat_search(di, cfg, BATCH)
+        empty_carry_fn = lambda R: empty_flat_carry(R, cfg)
 
     def make_args(reads_arr):
-        """Kmer-seeded batch: vectorised seed of the flat pool from the
+        """Kmer-seeded batch: vectorised seed of the state pool from the
         last-kmer index hits, stream the remaining bases."""
         R = reads_arr.shape[0]
         k = KMER_SIZE
-        carry = empty_flat_carry(R, cfg)
-        read_id, lo, hi, trav, n_trav, ing, n_ing, _ = carry
+        carry = empty_carry_fn(R)
         owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = kmer_index.seed_batch(
             reads_arr[:, READ_LEN - k:])
-        if s_trav.shape[1] < cfg.path:
-            pad = ((0, 0), (0, cfg.path - s_trav.shape[1]), (0, 0))
-            s_trav = np.pad(s_trav, pad)
-            s_ing = np.pad(s_ing, pad)
         n_states = min(owner.size, cfg.pool)
+        if ENGINE == "log":
+            read_id, lo, hi, pref, _ = carry
+            pref[:n_states] = -np.arange(1, n_states + 1, dtype=np.int32)
+        else:
+            read_id, lo, hi, trav, n_trav, ing, n_ing, _ = carry
+            if s_trav.shape[1] < cfg.path:
+                pad = ((0, 0), (0, cfg.path - s_trav.shape[1]), (0, 0))
+                s_trav = np.pad(s_trav, pad)
+                s_ing = np.pad(s_ing, pad)
+            trav[:n_states] = s_trav[:n_states]
+            n_trav[:n_states] = s_nt[:n_states]
+            ing[:n_states] = s_ing[:n_states]
+            n_ing[:n_states] = s_ni[:n_states]
         read_id[:n_states] = owner[:n_states]
         lo[:n_states] = s_lo[:n_states]
         hi[:n_states] = s_hi[:n_states]
-        trav[:n_states] = s_trav[:n_states]
-        n_trav[:n_states] = s_nt[:n_states]
-        ing[:n_states] = s_ing[:n_states]
-        n_ing[:n_states] = s_ni[:n_states]
         reads_T = np.ascontiguousarray(
             reads_arr[:, : READ_LEN - k][:, ::-1].T).astype(np.int32)
         n_seeded = np.unique(owner[:n_states]).size
@@ -169,9 +181,10 @@ def main():
     # warmup + compile
     out = search(reads_T, carry)
     jax.block_until_ready(out)
-    final_read_id = np.asarray(out[0])
+    final = out[0] if ENGINE == "log" else out
+    final_read_id = np.asarray(final[0])
     n_mapped = np.unique(final_read_id[final_read_id >= 0]).size
-    n_overflow = int(np.asarray(out[7]).sum())
+    n_overflow = int(np.asarray(final[4 if ENGINE == "log" else 7]).sum())
     print(f"# warmup done; {n_mapped}/{BATCH} reads mapped, "
           f"{n_overflow} overflowed", file=sys.stderr)
 

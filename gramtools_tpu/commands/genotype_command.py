@@ -80,9 +80,15 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
 
     engine = None
     if getattr(args, "engine", "host") == "device":
-        from ..mapping.search_jax_flat import FlatBatchedEngine
-        log.info("Using batched device mapping engine (flat pool)")
-        engine = FlatBatchedEngine(idx, kmer_size)
+        import os
+        if os.environ.get("GRAMTOOLS_TPU_ENGINE", "log") == "flat":
+            from ..mapping.search_jax_flat import FlatBatchedEngine
+            log.info("Using batched device mapping engine (flat pool)")
+            engine = FlatBatchedEngine(idx, kmer_size)
+        else:
+            from ..mapping.search_jax_log import LogBatchedEngine
+            log.info("Using batched device mapping engine (genealogy log)")
+            engine = LogBatchedEngine(idx, kmer_size)
 
     log.info("Running quasimap")
     with timer.phase("Quasimap"):

@@ -64,6 +64,7 @@ class DeviceIndex:
     marker_prefix: jnp.ndarray  # (n+1,)
     marker_sa_pos: jnp.ndarray  # (n_markers,) padded to >=1
     pos_to_locus: jnp.ndarray   # (len_prg,)
+    marker_rank_locus: jnp.ndarray  # (n_markers,) jump locus per marker rank
     sentinel_row: jnp.ndarray   # () BWT row holding the 0 sentinel
     out_lo: jnp.ndarray         # (L, B)
     out_hi: jnp.ndarray
@@ -82,6 +83,11 @@ class DeviceIndex:
         marker_sa_pos = fm.marker_sa_pos
         if marker_sa_pos.size == 0:
             marker_sa_pos = np.zeros(1, dtype=np.int32)
+        # marker rank -> jump locus directly (collapses the dependent
+        # marker_sa_pos -> sa -> pos_to_locus gather chain to one gather)
+        marker_prg_pos = fm.sa[np.clip(marker_sa_pos, 0, fm.size - 1)]
+        marker_rank_locus = jt.pos_to_locus[
+            np.clip(marker_prg_pos, 0, jt.pos_to_locus.shape[0] - 1)]
         return cls(
             occ=jnp.asarray(np.ascontiguousarray(fm.occ.T)),
             sym_start=jnp.asarray(fm.sym_start),
@@ -89,6 +95,7 @@ class DeviceIndex:
             marker_prefix=jnp.asarray(fm.marker_prefix),
             marker_sa_pos=jnp.asarray(marker_sa_pos),
             pos_to_locus=jnp.asarray(jt.pos_to_locus),
+            marker_rank_locus=jnp.asarray(marker_rank_locus),
             sentinel_row=jnp.asarray(
                 np.int32(np.flatnonzero(fm.bwt == 0)[0])),
             out_lo=jnp.asarray(jt.out_lo),
@@ -105,8 +112,8 @@ class DeviceIndex:
 jax.tree_util.register_dataclass(
     DeviceIndex,
     data_fields=["occ", "sym_start", "sa", "marker_prefix", "marker_sa_pos",
-                 "pos_to_locus", "sentinel_row", "out_lo", "out_hi",
-                 "ops_kind", "ops_site", "ops_allele"],
+                 "pos_to_locus", "marker_rank_locus", "sentinel_row",
+                 "out_lo", "out_hi", "ops_kind", "ops_site", "ops_allele"],
     meta_fields=["size", "n_outcomes", "n_ops"],
 )
 

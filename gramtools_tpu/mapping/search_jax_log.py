@@ -1,0 +1,385 @@
+"""Genealogy-log vBWT search: the scan carries no variant paths at all.
+
+Third-generation device engine (slots -> flat pool -> this). Profiling
+the flat-pool engine (search_jax_flat) on TPU v5e shows a large share of
+per-step HBM traffic is the path machinery: every state drags two
+(P, 2) path arrays through the dense repack scatter each step, and every
+marker hit replays a masked O-op write loop over (G, B, P) buffers --
+even though paths are only *read* once, on the host, after the scan.
+
+This engine stores no paths on device. Each pool state carries a single
+``pref`` word: a reference into a genealogy log. When a marker hit
+spawns a newborn state, the step emits one log record
+``(parent_pref, event)`` through ``lax.scan``'s stacked outputs --
+a dense (steps, G, B, 2) array -- and the newborn's pref points at that
+record. Seed states get negative prefs indexing the host-side seed list.
+After the scan the host reconstructs paths only for the states that
+survived: chase parent pointers to a seed (chains are as short as the
+number of sites the read crossed), then replay the jump-table ops
+root->leaf. The exit/enter op semantics replayed here are those of
+vBWT_jump.cpp:51-92 and 230-265 (see jump_table.py).
+
+Wins vs the flat engine:
+  * scan carry is 4 int32 words/state (was 4 + 2*(P,2) paths + 2 counts);
+    the repack concat+scatter moves ~9x less data;
+  * the (G, B, O) op-application loop disappears from the device step;
+  * no path-capacity bound: deep nesting cannot overflow (the flat
+    engine's cfg.path host-fallback class is gone);
+  * one build-time table ``marker_rank_locus`` collapses the marker-hit
+    chain of three dependent gathers (marker_sa_pos -> sa ->
+    pos_to_locus) into one.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .search import PrgIndex, SearchState
+from .search_jax import DeviceIndex, _next_pow2, _round_up
+
+
+@dataclass
+class LogConfig:
+    pool: int = 16384    # N: live states across the whole batch
+    hits: int = 2048     # G: marker hits processed per step (global)
+
+
+def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int):
+    B = di.n_outcomes
+    N = cfg.pool
+    G = cfg.hits
+    n = di.size
+
+    def step(carry, xs):
+        base_row, log_base = xs
+        (read_id, lo, hi, pref, overflow) = carry
+        valid = read_id >= 0
+        rid = jnp.clip(read_id, 0, num_reads - 1)
+        base = jnp.where(valid, base_row[rid], 0)       # (N,)
+        active = valid & (base > 0)
+
+        # ---- 1. occ row gathers: LF + marker counts ---------------------
+        row_lo = di.occ[jnp.clip(lo, 0, n)]             # (N,4)
+        row_hi = di.occ[jnp.clip(hi + 1, 0, n)]         # (N,4)
+        onehot = (base[:, None] == jnp.arange(1, 5))    # (N,4)
+        first = di.sym_start[jnp.clip(base, 0, 4)]
+        nlo = first + jnp.sum(row_lo * onehot, axis=1)
+        nhi = first + jnp.sum(row_hi * onehot, axis=1) - 1
+        ext_alive = active & (nlo <= nhi)
+        kept_lo = jnp.where(active, nlo, lo)
+        kept_hi = jnp.where(active, nhi, hi)
+        keep = ext_alive | (valid & ~active)            # padding steps persist
+
+        # markers in bwt[0:i) = i - #dna(<i) - #sentinel(<i)
+        sent = di.sentinel_row
+        m_lo = lo - jnp.sum(row_lo, axis=1) - (lo > sent)
+        m_hi = (hi + 1) - jnp.sum(row_hi, axis=1) - (hi + 1 > sent)
+        cnt = jnp.where(active, m_hi - m_lo, 0)         # (N,)
+
+        # ---- 2. global hit enumeration ----------------------------------
+        cum = jnp.cumsum(cnt)
+        total = cum[-1]
+        g = jnp.arange(G)
+        s_of_g = jnp.searchsorted(cum, g, side="right") # (G,) state index
+        s_of_g = jnp.clip(s_of_g, 0, N - 1)
+        hit_ok = g < jnp.minimum(total, G)
+        cum_before = cum[s_of_g] - cnt[s_of_g]
+        hit_pos = m_lo[s_of_g] + (g - cum_before)
+        # states whose hits spill past the budget flag their read
+        spilled = active & (cum > G) & (cnt > 0)
+        overflow = overflow.at[jnp.where(spilled, rid, num_reads)].set(
+            True, mode="drop")
+
+        # marker rank -> jump locus, one precomputed gather
+        loc = jnp.where(hit_ok,
+                        di.marker_rank_locus[
+                            jnp.clip(hit_pos, 0,
+                                     di.marker_rank_locus.shape[0] - 1)],
+                        -1)                              # (G,)
+
+        # ---- 3. outcomes + LF of newborns (G,B) -------------------------
+        li = jnp.clip(loc, 0, di.out_lo.shape[0] - 1)
+        j_lo = di.out_lo[li]                             # (G,B)
+        j_hi = di.out_hi[li]
+        cand_ok = (loc >= 0)[:, None] & (j_lo >= 0)
+        jrow_lo = di.occ[jnp.clip(j_lo, 0, n)]           # (G,B,4)
+        jrow_hi = di.occ[jnp.clip(j_hi + 1, 0, n)]
+        j_base = base[s_of_g]                            # (G,)
+        j_onehot = (j_base[:, None] == jnp.arange(1, 5))  # (G,4)
+        j_first = di.sym_start[jnp.clip(j_base, 0, 4)]
+        e_lo = j_first[:, None] + jnp.sum(jrow_lo * j_onehot[:, None, :], axis=2)
+        e_hi = j_first[:, None] + jnp.sum(jrow_hi * j_onehot[:, None, :], axis=2) - 1
+        cand_ok &= e_lo <= e_hi
+
+        # genealogy log records for this step's candidates
+        rec_parent = jnp.broadcast_to(pref[s_of_g][:, None], (G, B))
+        rec_event = li[:, None] * B + jnp.arange(B)[None, :]   # (G,B)
+        c_pref = log_base + g[:, None] * B + jnp.arange(B)[None, :]
+        c_rid = jnp.broadcast_to(rid[s_of_g][:, None], (G, B))
+
+        # ---- 4. dense repack: survivors then newborns -------------------
+        flags = jnp.concatenate([keep, cand_ok.reshape(-1)])
+        pos = jnp.cumsum(flags) - 1
+        dest = jnp.where(flags & (pos < N), pos, N)      # N = dump slot
+        all_rid = jnp.concatenate([rid, c_rid.reshape(-1)])
+        dropped = flags & (pos >= N)
+        overflow = overflow.at[jnp.where(dropped, all_rid, num_reads)].set(
+            True, mode="drop")
+
+        def repack(old, new_vals, fill):
+            cat = jnp.concatenate([old, new_vals])
+            out = jnp.full((N + 1,), fill, dtype=cat.dtype)
+            return out.at[dest].set(cat, mode="drop")[:N]
+
+        new_read_id = repack(jnp.where(keep, read_id, -1),
+                             jnp.where(cand_ok, c_rid, -1).reshape(-1), -1)
+        new_lo = repack(kept_lo, e_lo.reshape(-1), 0)
+        new_hi = repack(kept_hi, e_hi.reshape(-1), 0)
+        new_pref = repack(pref, c_pref.reshape(-1), 0)
+
+        return ((new_read_id, new_lo, new_hi, new_pref, overflow),
+                (rec_parent, rec_event))
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("pool", "hits", "num_reads"))
+def _log_search_impl(di: DeviceIndex, reads_T, carry, pool, hits, num_reads):
+    cfg = LogConfig(pool=pool, hits=hits)
+    step = _build_log_step(di, cfg, num_reads)
+    steps = reads_T.shape[0]
+    log_base = jnp.arange(steps, dtype=jnp.int32) * (cfg.hits * di.n_outcomes)
+    final, log = jax.lax.scan(step, carry, (reads_T, log_base))
+    return final, log
+
+
+def make_log_search(di: DeviceIndex, cfg: LogConfig, num_reads: int):
+    return lambda reads_T, carry: _log_search_impl(
+        di, reads_T, carry, cfg.pool, cfg.hits, num_reads)
+
+
+def empty_log_carry(num_reads: int, cfg: LogConfig):
+    N = cfg.pool
+    z = np.zeros
+    return (
+        np.full((N,), -1, np.int32), z((N,), np.int32), z((N,), np.int32),
+        z((N,), np.int32),
+        z((num_reads,), bool),
+    )
+
+
+class PathReplayer:
+    """Reconstructs (traversed, traversing) for final states from the
+    genealogy log + the seed paths, replaying jump-table ops root->leaf
+    (the host twin of the flat engine's device op loop)."""
+
+    def __init__(self, jt, B: int):
+        from .jump_table import OP_ENTER, OP_EXIT
+
+        self._OP_EXIT, self._OP_ENTER = OP_EXIT, OP_ENTER
+        self.kind = np.asarray(jt.ops_kind)
+        self.site = np.asarray(jt.ops_site)
+        self.allele = np.asarray(jt.ops_allele)
+        self.B = B
+        self._cache: dict = {}
+
+    def replay(self, pref: int, log_parent: np.ndarray, log_event: np.ndarray,
+               seed_paths) -> "tuple[tuple, tuple]":
+        events: List[int] = []
+        while pref >= 0:
+            events.append(int(log_event[pref]))
+            pref = int(log_parent[pref])
+        trav, ing = seed_paths(-pref - 1)
+        trav, ing = list(trav), list(ing)
+        for event in reversed(events):
+            ops = self._cache.get(event)
+            if ops is None:
+                li, b = divmod(event, self.B)
+                ops = [(int(k), int(s), int(a)) for k, s, a in zip(
+                    self.kind[li, b], self.site[li, b], self.allele[li, b])
+                    if k != 0]
+                self._cache[event] = ops
+            for kind, site, allele in ops:
+                if kind == self._OP_EXIT:
+                    if ing:
+                        ing.pop()
+                    trav.append((site, allele))
+                else:  # OP_ENTER
+                    from ..prg.markers import ALLELE_UNKNOWN
+                    ing.append((site, ALLELE_UNKNOWN))
+        return tuple(trav), tuple(ing)
+
+
+class LogBatchedEngine:
+    """Drop-in engine for quasimap_reads (same contract as
+    FlatBatchedEngine.search_buffer)."""
+
+    def __init__(self, idx: PrgIndex, kmer_size: int,
+                 cfg: Optional[LogConfig] = None):
+        import os
+
+        from ..common.jax_setup import enable_compile_cache
+        from .jump_table import build_jump_table
+
+        enable_compile_cache()
+        self.idx = idx
+        self.kmer_size = kmer_size
+        self.jt = build_jump_table(idx)
+        self.di = DeviceIndex.build(idx, self.jt)
+        idx.graph.node_tables()  # pre-build for the batched coverage recorder
+        if cfg is None:
+            cfg = LogConfig(
+                pool=int(os.environ.get("GRAMTOOLS_TPU_POOL", LogConfig.pool)),
+                hits=int(os.environ.get("GRAMTOOLS_TPU_HITS", LogConfig.hits)))
+        self.cfg = cfg
+        self.replayer = PathReplayer(self.jt, self.di.n_outcomes)
+        self.host_fallbacks = 0
+        self.device_mapped = 0
+
+    def search_buffer(self, buffer, kmer_index, kmer_size, stats):
+        from ..common.seq import revcomp
+        from .quasimap import all_read_kmers_in_index
+        from .search import (handle_allele_encapsulated_states,
+                             search_read_backwards)
+
+        k = kmer_size
+        results = [[] for _ in buffer]
+
+        # batch kmer-presence screen over all orientations at once
+        oriented_all = []
+        owners = []
+        for i, read in enumerate(buffer):
+            stats.all_reads_count += 2
+            if read.size == 0:
+                stats.skipped_reads_count += 2
+                continue
+            oriented_all.append(read)
+            oriented_all.append(revcomp(read))
+            owners.extend((i, i))
+        if not oriented_all:
+            return results
+        batch_filter = getattr(kmer_index, "batch_all_indexed", None)
+        if batch_filter is not None:
+            passed = batch_filter(oriented_all)
+        else:
+            passed = np.array([all_read_kmers_in_index(k, r, kmer_index)
+                               for r in oriented_all])
+        rows = []
+        for j, (i, oriented) in enumerate(zip(owners, oriented_all)):
+            if passed[j]:
+                rows.append((i, oriented))
+            else:
+                stats.missing_kmer_reads_count += 1
+
+        if not rows:
+            return results
+
+        R = _next_pow2(len(rows), floor=8)
+        max_len = max(r.size for _, r in rows)
+        steps = _round_up(max(max_len - k, 0), 32)
+        carry = empty_log_carry(R, self.cfg)
+        read_id, lo, hi, pref, _ = carry
+        reads_T = np.zeros((steps, R), dtype=np.int32)
+        host_rows = set()
+
+        # seed paths, indexed by seed slot (= initial pool slot)
+        seed_trav: List[tuple] = []
+        seed_ing: List[tuple] = []
+
+        seed_fn = getattr(kmer_index, "seed_batch", None)
+        if seed_fn is not None and getattr(kmer_index, "trav", None) is not None:
+            # vectorised seeding from the array-backed kmer index
+            last_kmers = np.zeros((len(rows), k), dtype=np.uint8)
+            for row, (i, read) in enumerate(rows):
+                last_kmers[row] = read[read.size - k:]
+                body = read[: read.size - k][::-1]
+                reads_T[: body.size, row] = body
+            owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = seed_fn(last_kmers)
+            n_states = owner.size
+            if n_states > self.cfg.pool:
+                # rows whose seeds do not fit go to the host engine
+                for r in np.unique(owner[self.cfg.pool:]):
+                    host_rows.add(int(r))
+                n_states = self.cfg.pool
+            read_id[:n_states] = owner[:n_states]
+            lo[:n_states] = s_lo[:n_states]
+            hi[:n_states] = s_hi[:n_states]
+            pref[:n_states] = -np.arange(1, n_states + 1, dtype=np.int32)
+            for si in range(n_states):
+                nt, ni = int(s_nt[si]), int(s_ni[si])
+                seed_trav.append(tuple(map(tuple, s_trav[si, :nt].tolist())))
+                seed_ing.append(tuple(map(tuple, s_ing[si, :ni].tolist())))
+            seeded = set(np.unique(owner[:n_states]).tolist())
+            for row in range(len(rows)):
+                if row not in seeded:
+                    host_rows.add(row)
+            cursor = n_states
+        else:
+            cursor = 0
+            for row, (i, read) in enumerate(rows):
+                seed = read[read.size - k:].astype(np.uint8).tobytes()
+                states = kmer_index.get(seed, [])
+                if not states or cursor + len(states) > self.cfg.pool:
+                    host_rows.add(row)
+                    continue
+                for s in states:
+                    read_id[cursor] = row
+                    lo[cursor] = s.lo
+                    hi[cursor] = s.hi
+                    pref[cursor] = -(cursor + 1)
+                    seed_trav.append(tuple(s.traversed))
+                    seed_ing.append(tuple(s.traversing))
+                    cursor += 1
+                body = read[: read.size - k][::-1]
+                reads_T[: body.size, row] = body
+
+        if steps > 0 and cursor > 0:
+            import logging
+            import time
+            t0 = time.perf_counter()
+            fn = make_log_search(self.di, self.cfg, R)
+            out, log = fn(jnp.asarray(reads_T), jax.device_put(carry))
+            jax.block_until_ready(out)
+            carry_np = jax.tree_util.tree_map(np.asarray, out)
+            log_parent = np.asarray(log[0]).reshape(-1)
+            log_event = np.asarray(log[1]).reshape(-1)
+            logging.getLogger("gramtools_tpu").debug(
+                "device search: %d rows, %d seed states, %.2fs",
+                len(rows), cursor, time.perf_counter() - t0)
+        else:
+            carry_np = carry
+            log_parent = log_event = np.empty(0, dtype=np.int32)
+        (f_read_id, f_lo, f_hi, f_pref, overflow) = carry_np
+
+        # group final pool states by read, replaying paths from the log
+        seed_paths = lambda si: (seed_trav[si], seed_ing[si])
+        per_row_states: dict = {}
+        order = np.argsort(f_read_id, kind="stable")
+        for pi in order:
+            r = int(f_read_id[pi])
+            if r < 0:
+                continue
+            trav, ing = self.replayer.replay(int(f_pref[pi]), log_parent,
+                                             log_event, seed_paths)
+            state = SearchState(int(f_lo[pi]), int(f_hi[pi]), trav, ing)
+            per_row_states.setdefault(r, []).append(state)
+
+        for row, (i, read) in enumerate(rows):
+            if row in host_rows or bool(overflow[row]):
+                self.host_fallbacks += 1
+                seed = read[read.size - k:].astype(np.uint8).tobytes()
+                seed_states = kmer_index.get(seed, [])
+                states = (search_read_backwards(read, seed_states, k, self.idx)
+                          if seed_states else [])
+            else:
+                self.device_mapped += 1
+                states = handle_allele_encapsulated_states(
+                    per_row_states.get(row, []), self.idx)
+            results[i].append((states, int(read.size)))
+        return results

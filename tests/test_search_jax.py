@@ -16,6 +16,7 @@ from gramtools_tpu.mapping.quasimap import quasimap_reads
 from gramtools_tpu.mapping.search import search_read_backwards
 from gramtools_tpu.mapping.search_jax import BatchedSearchEngine
 from gramtools_tpu.mapping.search_jax_flat import FlatBatchedEngine, FlatConfig
+from gramtools_tpu.mapping.search_jax_log import LogBatchedEngine, LogConfig
 from gramtools_tpu.prg.linearise import PrgString, prg_string_to_ints
 
 DATA_DIR = Path("/root/reference/gramtools/tests/integration_test_data")
@@ -50,7 +51,8 @@ HARD_NESTED_PRGS = [
 ]
 
 
-@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine])
+@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine,
+                                        LogBatchedEngine])
 @pytest.mark.parametrize("seed,nested", [(0, False), (1, False), (2, True),
                                          (3, True), (4, True),
                                          (100, "hard0"), (101, "hard1"),
@@ -71,6 +73,8 @@ def test_batched_matches_host_random(seed, nested, engine_cls):
     if engine_cls is FlatBatchedEngine:
         # small pool/hit budget exercises the overflow->host path too
         engine = FlatBatchedEngine(idx, k, FlatConfig(pool=256, hits=64))
+    elif engine_cls is LogBatchedEngine:
+        engine = LogBatchedEngine(idx, k, LogConfig(pool=256, hits=64))
     else:
         engine = BatchedSearchEngine(idx, k)
 
@@ -108,7 +112,8 @@ def test_batched_matches_host_random(seed, nested, engine_cls):
 
 
 @pytest.mark.skipif(not DATA_DIR.exists(), reason="fixtures unavailable")
-@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine])
+@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine,
+                                        LogBatchedEngine])
 @pytest.mark.parametrize("fixture,expected_grouped", [
     ("IT1", [{(0,): 1, (1,): 1}, {(0,): 1, (1,): 1}]),
     ("IT2", [{(0, 1): 1}, {(0, 1): 1}]),
