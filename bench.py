@@ -128,7 +128,7 @@ def main():
     import jax.numpy as jnp
 
     pool = int(os.environ.get("BENCH_POOL", 4 * BATCH))
-    hits = int(os.environ.get("BENCH_HITS", BATCH // 4))
+    hits = int(os.environ.get("BENCH_HITS", BATCH // 2))
     if ENGINE == "log":
         from gramtools_tpu.mapping.search_jax_log import (
             LogConfig, empty_log_carry, make_log_search)

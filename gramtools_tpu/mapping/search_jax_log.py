@@ -149,19 +149,72 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int):
     return step
 
 
-@partial(jax.jit, static_argnames=("pool", "hits", "num_reads"))
-def _log_search_impl(di: DeviceIndex, reads_T, carry, pool, hits, num_reads):
-    cfg = LogConfig(pool=pool, hits=hits)
-    step = _build_log_step(di, cfg, num_reads)
-    steps = reads_T.shape[0]
-    log_base = jnp.arange(steps, dtype=jnp.int32) * (cfg.hits * di.n_outcomes)
-    final, log = jax.lax.scan(step, carry, (reads_T, log_base))
-    return final, log
+def _resize_pool(carry, pool: int, num_reads: int):
+    """Live states are dense-packed at the pool front (the repack
+    guarantees it), so shrinking = slicing; states sliced off flag their
+    read for exact host re-mapping."""
+    read_id, lo, hi, pref, overflow = carry
+    N = read_id.shape[0]
+    if N == pool:
+        return carry
+    if N > pool:
+        tail = read_id[pool:]
+        dropped = tail >= 0
+        overflow = overflow.at[jnp.where(dropped, tail, num_reads)].set(
+            True, mode="drop")
+        return (read_id[:pool], lo[:pool], hi[:pool], pref[:pool], overflow)
+    pad = pool - N
+    z = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+    return (jnp.concatenate([read_id, jnp.full((pad,), -1, read_id.dtype)]),
+            z(lo), z(hi), z(pref), overflow)
 
 
-def make_log_search(di: DeviceIndex, cfg: LogConfig, num_reads: int):
-    return lambda reads_T, carry: _log_search_impl(
-        di, reads_T, carry, cfg.pool, cfg.hits, num_reads)
+@partial(jax.jit, static_argnames=("phases", "num_reads"))
+def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
+    """phases: tuple of (n_steps, pool, hits) segments covering the scan.
+
+    The live-state count and marker-hit volume both peak right after
+    seeding (multiple kmer seed states per read) and decay to ~1 state
+    per read within ~10 steps on SNP-dense graphs; later segments run
+    with smaller pools/hit budgets, which the per-step gather volume is
+    proportional to."""
+    logs_p, logs_e = [], []
+    log_base = 0
+    offset = 0
+    for n_steps, pool, hits in phases:
+        cfg = LogConfig(pool=pool, hits=hits)
+        carry = _resize_pool(carry, pool, num_reads)
+        step = _build_log_step(di, cfg, num_reads)
+        lb = log_base + jnp.arange(n_steps, dtype=jnp.int32) * (
+            hits * di.n_outcomes)
+        xs = (jax.lax.slice_in_dim(reads_T, offset, offset + n_steps), lb)
+        carry, (lp, le) = jax.lax.scan(step, carry, xs)
+        logs_p.append(lp.reshape(-1))
+        logs_e.append(le.reshape(-1))
+        log_base += n_steps * hits * di.n_outcomes
+        offset += n_steps
+    return carry, (jnp.concatenate(logs_p), jnp.concatenate(logs_e))
+
+
+def auto_phases(steps: int, num_reads: int, cfg: LogConfig):
+    """Segment plan: full (pool, hits) while seed states die off, then a
+    steady-state segment sized for ~2 live states/read."""
+    WARM = 16
+    pool2 = max(_next_pow2(2 * num_reads, floor=64), 64)
+    hits2 = max(cfg.hits // 2, 8)
+    if steps <= WARM or pool2 >= cfg.pool:
+        return ((steps, cfg.pool, cfg.hits),)
+    return ((WARM, cfg.pool, cfg.hits), (steps - WARM, pool2, hits2))
+
+
+def make_log_search(di: DeviceIndex, cfg: LogConfig, num_reads: int,
+                    phases=None):
+    def run(reads_T, carry):
+        p = phases
+        if p is None:
+            p = auto_phases(reads_T.shape[0], num_reads, cfg)
+        return _log_search_impl(di, reads_T, carry, tuple(p), num_reads)
+    return run
 
 
 def empty_log_carry(num_reads: int, cfg: LogConfig):
