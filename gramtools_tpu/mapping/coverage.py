@@ -28,11 +28,18 @@ UINT16_MAX = np.iinfo(np.uint16).max
 
 @dataclass
 class Coverage:
-    """Parity: gram::Coverage (quasimap/coverage/types.hpp)."""
+    """Parity: gram::Coverage (quasimap/coverage/types.hpp).
+
+    The batched recorder (coverage_fast.py) appends per-buffer count
+    arrays to the pending_* lists instead of updating the python
+    structures; finalise() folds them in once per run (quasimap_reads
+    calls it before returning)."""
 
     allele_sum: List[List[int]]
     grouped_counts: List[Dict[Tuple[int, ...], int]]
     # per-base coverage lives in graph.coverage (flat uint16)
+    pending_sum: Optional[list] = None       # [(site, allele, count) arrays]
+    pending_group: Optional[list] = None     # [(site, size, packed, count)]
 
     @classmethod
     def empty(cls, idx: PrgIndex) -> "Coverage":
@@ -42,7 +49,7 @@ class Coverage:
             site_index = site_id_to_index(g.node(entry).site_id)
             allele_sum[site_index] = [0] * len(g.node(entry).edges)
         grouped: List[Dict[Tuple[int, ...], int]] = [{} for _ in range(g.num_sites)]
-        return cls(allele_sum, grouped)
+        return cls(allele_sum, grouped, [], [])
 
     def merge(self, other: "Coverage"):
         for mine, theirs in zip(self.allele_sum, other.allele_sum):
@@ -51,6 +58,46 @@ class Coverage:
         for mine_d, theirs_d in zip(self.grouped_counts, other.grouped_counts):
             for k, v in theirs_d.items():
                 mine_d[k] = mine_d.get(k, 0) + v
+        if other.pending_sum:
+            self.pending_sum.extend(other.pending_sum)
+        if other.pending_group:
+            self.pending_group.extend(other.pending_group)
+
+    def finalise(self):
+        """Fold pending batch-count arrays into the python structures."""
+        if self.pending_sum:
+            site = np.concatenate([p[0] for p in self.pending_sum])
+            allele = np.concatenate([p[1] for p in self.pending_sum])
+            count = np.concatenate([p[2] for p in self.pending_sum])
+            key = site * np.int64(1 << 20) + allele
+            uniq, inv = np.unique(key, return_inverse=True)
+            tot = np.bincount(inv, weights=count).astype(np.int64)
+            for k, c in zip(uniq, tot):
+                s, a = int(k >> 20), int(k & ((1 << 20) - 1))
+                self.allele_sum[site_id_to_index(s)][a] += int(c)
+            self.pending_sum.clear()
+        if self.pending_group:
+            site = np.concatenate([p[0] for p in self.pending_group])
+            size = np.concatenate([p[1] for p in self.pending_group])
+            packed = np.concatenate([p[2] for p in self.pending_group])
+            count = np.concatenate([p[3] for p in self.pending_group])
+            rows = np.stack([site, size, packed], axis=1)
+            uniq, first, inv = np.unique(rows, axis=0, return_index=True,
+                                         return_inverse=True)
+            tot = np.bincount(inv.reshape(-1), weights=count).astype(np.int64)
+            # insert in first-occurrence order: group-ID numbering in the
+            # JSON dump then matches the scalar path's read order
+            for gi in np.argsort(first, kind="stable"):
+                s, sz, pk = uniq[gi]
+                alleles = []
+                pk = int(pk)
+                for _ in range(int(sz)):
+                    alleles.append((pk & ((1 << 20) - 1)) - 1)
+                    pk >>= 20
+                d = self.grouped_counts[site_id_to_index(int(s))]
+                key = tuple(alleles)
+                d[key] = d.get(key, 0) + int(tot[gi])
+            self.pending_group.clear()
 
 
 # --- locus finding (coverage_common.cpp:10-83) ------------------------------

@@ -60,7 +60,42 @@ def record_per_base_batch(idx: PrgIndex,
         trav_idx[i] = len(path)
         for pi, locus in enumerate(path):
             trav[i, pi] = locus
+    _run_walks(idx, nt, read_of, cur, start, remaining, full, trav, trav_idx, P)
 
+
+def record_per_base_arrays(idx: PrgIndex, st_row, st_lo, st_hi, st_trav,
+                           st_ntrav, st_read_len):
+    """Array-input per-base recorder: one entry per selected state.
+
+    st_row groups states for the (read, node) envelope union; st_trav is
+    (S, P, 2) with st_ntrav valid entries per state. Occurrence expansion
+    (one walk per SA position, first = full walk) is vectorised."""
+    g = idx.graph
+    nt = g.node_tables()
+    S = st_lo.shape[0]
+    if S == 0:
+        return
+    w = (st_hi - st_lo + 1).astype(np.int64)
+    total = int(w.sum())
+    state_of = np.repeat(np.arange(S, dtype=np.int64), w)
+    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(w) - w, w)
+    occ_sa = st_lo[state_of].astype(np.int64) + off
+    prg_pos = idx.fm.sa[occ_sa].astype(np.int64)
+    cur = g.ra_node[prg_pos].astype(np.int64)
+    start = g.ra_offset[prg_pos].astype(np.int64)
+    read_of = np.asarray(st_row, dtype=np.int64)[state_of]
+    remaining = np.asarray(st_read_len, dtype=np.int64)[state_of]
+    full = off == 0
+    P = max(int(np.max(st_ntrav)) if S else 1, 1)
+    trav = np.asarray(st_trav, dtype=np.int64)[state_of, :P]
+    trav_idx = np.asarray(st_ntrav, dtype=np.int64)[state_of]
+    _run_walks(idx, nt, read_of, cur, start, remaining, full, trav, trav_idx, P)
+
+
+def _run_walks(idx: PrgIndex, nt, read_of, cur, start, remaining, full, trav,
+               trav_idx, P):
+    g = idx.graph
+    W = read_of.shape[0]
     emit_read, emit_node, emit_s, emit_e = [], [], [], []
     active = np.ones(W, dtype=bool)
     emitted_once = np.zeros(W, dtype=bool)  # non-full walks stop after 1 emit

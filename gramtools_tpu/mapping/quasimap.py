@@ -156,13 +156,21 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
     finally:
         if pool is not None:
             pool.terminate()
+    coverage.finalise()
     return stats, coverage
 
 
 def _map_buffer_batched(buffer, selection_seeds, first_raws, coverage,
                         kmer_index, idx, kmer_size, stats, engine, pool=None):
     """Batched path: the engine searches fwd+rev in one device batch;
-    coverage recording stays on host (forked workers when pool given)."""
+    selection + recording are vectorised when the engine supports
+    record_buffer, else they stay per-read on host (forked workers when
+    pool given)."""
+    record_fast = getattr(engine, "record_buffer", None)
+    if record_fast is not None and pool is None:
+        record_fast(buffer, kmer_index, kmer_size, stats, coverage,
+                    selection_seeds, first_raws)
+        return
     results = engine.search_buffer(buffer, kmer_index, kmer_size, stats)
     items = []
     for i, read in enumerate(buffer):

@@ -269,9 +269,77 @@ class PathReplayer:
         return tuple(trav), tuple(ing)
 
 
+def replay_paths_vectorised(f_read_id, f_pref, log_parent, log_event,
+                            s_trav, s_nt, s_ing, s_ni, jt, B):
+    """Batch path reconstruction: chase all genealogy chains at once
+    (one gather per depth level), then apply the jump-table ops of each
+    chain root->leaf with masked writes. Returns per live state:
+    (pool_index, trav (n,T,2), n_trav, ing (n,I,2), n_ing)."""
+    from ..prg.markers import ALLELE_UNKNOWN
+    from .jump_table import OP_ENTER, OP_EXIT
+
+    sel = np.flatnonzero(f_read_id >= 0)
+    n = sel.size
+    kind2 = np.asarray(jt.ops_kind).reshape(-1, jt.max_ops)
+    site2 = np.asarray(jt.ops_site).reshape(-1, jt.max_ops)
+    allele2 = np.asarray(jt.ops_allele).reshape(-1, jt.max_ops)
+    O = jt.max_ops
+    if n == 0:
+        return (sel, np.zeros((0, 1, 2), np.int64), np.zeros(0, np.int64),
+                np.zeros((0, 1, 2), np.int64), np.zeros(0, np.int64))
+
+    p = f_pref[sel].astype(np.int64)
+    events = []
+    guard = 0
+    while (p >= 0).any():
+        pc = np.clip(p, 0, max(log_event.size - 1, 0))
+        events.append(np.where(p >= 0, log_event[pc], -1))
+        p = np.where(p >= 0, log_parent[pc], p)
+        guard += 1
+        if guard > 1_000_000:
+            raise RuntimeError("genealogy log cycle")
+    seed_idx = (-p - 1).astype(np.int64)
+    D = len(events)
+
+    P0 = s_trav.shape[1] if s_trav.ndim == 3 else 0
+    I0 = s_ing.shape[1] if s_ing.ndim == 3 else 0
+    Tcap = max(P0 + D * O, 1)
+    Icap = max(I0 + D * O, 1)
+    trav = np.zeros((n, Tcap, 2), dtype=np.int64)
+    ing = np.zeros((n, Icap, 2), dtype=np.int64)
+    if P0:
+        trav[:, :P0] = s_trav[seed_idx]
+    if I0:
+        ing[:, :I0] = s_ing[seed_idx]
+    n_trav = s_nt[seed_idx].astype(np.int64)
+    n_ing = s_ni[seed_idx].astype(np.int64)
+    ar = np.arange(n)
+    for d in range(D - 1, -1, -1):
+        ev = events[d]
+        valid = ev >= 0
+        evc = np.clip(ev, 0, kind2.shape[0] - 1)
+        for o in range(O):
+            kind = np.where(valid, kind2[evc, o], 0)
+            ex = kind == OP_EXIT
+            if ex.any():
+                n_ing = np.where(ex & (n_ing > 0), n_ing - 1, n_ing)
+                rows = ar[ex]
+                trav[rows, n_trav[rows], 0] = site2[evc, o][ex]
+                trav[rows, n_trav[rows], 1] = allele2[evc, o][ex]
+                n_trav = np.where(ex, n_trav + 1, n_trav)
+            en = kind == OP_ENTER
+            if en.any():
+                rows = ar[en]
+                ing[rows, n_ing[rows], 0] = site2[evc, o][en]
+                ing[rows, n_ing[rows], 1] = ALLELE_UNKNOWN
+                n_ing = np.where(en, n_ing + 1, n_ing)
+    return sel, trav, n_trav, ing, n_ing
+
+
 class LogBatchedEngine:
     """Drop-in engine for quasimap_reads (same contract as
-    FlatBatchedEngine.search_buffer)."""
+    FlatBatchedEngine.search_buffer), plus a fully-vectorised
+    record_buffer fast path (selection + coverage as array ops)."""
 
     def __init__(self, idx: PrgIndex, kmer_size: int,
                  cfg: Optional[LogConfig] = None):
@@ -292,14 +360,15 @@ class LogBatchedEngine:
                 hits=int(os.environ.get("GRAMTOOLS_TPU_HITS", LogConfig.hits)))
         self.cfg = cfg
         self.replayer = PathReplayer(self.jt, self.di.n_outcomes)
+        self._site_meta = None
         self.host_fallbacks = 0
         self.device_mapped = 0
 
-    def search_buffer(self, buffer, kmer_index, kmer_size, stats):
+    def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
+        """Kmer filter + seed + device scan. Returns (results_skeleton,
+        rows, carry_np, log_parent, log_event, seed arrays, host_rows)."""
         from ..common.seq import revcomp
         from .quasimap import all_read_kmers_in_index
-        from .search import (handle_allele_encapsulated_states,
-                             search_read_backwards)
 
         k = kmer_size
         results = [[] for _ in buffer]
@@ -316,7 +385,7 @@ class LogBatchedEngine:
             oriented_all.append(revcomp(read))
             owners.extend((i, i))
         if not oriented_all:
-            return results
+            return results, [], None, None, None, None, set()
         batch_filter = getattr(kmer_index, "batch_all_indexed", None)
         if batch_filter is not None:
             passed = batch_filter(oriented_all)
@@ -331,7 +400,7 @@ class LogBatchedEngine:
                 stats.missing_kmer_reads_count += 1
 
         if not rows:
-            return results
+            return results, [], None, None, None, None, set()
 
         R = _next_pow2(len(rows), floor=8)
         max_len = max(r.size for _, r in rows)
@@ -340,10 +409,6 @@ class LogBatchedEngine:
         read_id, lo, hi, pref, _ = carry
         reads_T = np.zeros((steps, R), dtype=np.int32)
         host_rows = set()
-
-        # seed paths, indexed by seed slot (= initial pool slot)
-        seed_trav: List[tuple] = []
-        seed_ing: List[tuple] = []
 
         seed_fn = getattr(kmer_index, "seed_batch", None)
         if seed_fn is not None and getattr(kmer_index, "trav", None) is not None:
@@ -360,21 +425,23 @@ class LogBatchedEngine:
                 for r in np.unique(owner[self.cfg.pool:]):
                     host_rows.add(int(r))
                 n_states = self.cfg.pool
+                s_trav = s_trav[:n_states]
+                s_nt = s_nt[:n_states]
+                s_ing = s_ing[:n_states]
+                s_ni = s_ni[:n_states]
             read_id[:n_states] = owner[:n_states]
             lo[:n_states] = s_lo[:n_states]
             hi[:n_states] = s_hi[:n_states]
             pref[:n_states] = -np.arange(1, n_states + 1, dtype=np.int32)
-            for si in range(n_states):
-                nt, ni = int(s_nt[si]), int(s_ni[si])
-                seed_trav.append(tuple(map(tuple, s_trav[si, :nt].tolist())))
-                seed_ing.append(tuple(map(tuple, s_ing[si, :ni].tolist())))
             seeded = set(np.unique(owner[:n_states]).tolist())
             for row in range(len(rows)):
                 if row not in seeded:
                     host_rows.add(row)
             cursor = n_states
+            seeds = (s_trav, s_nt, s_ing, s_ni)
         else:
             cursor = 0
+            tups = []
             for row, (i, read) in enumerate(rows):
                 seed = read[read.size - k:].astype(np.uint8).tobytes()
                 states = kmer_index.get(seed, [])
@@ -386,11 +453,24 @@ class LogBatchedEngine:
                     lo[cursor] = s.lo
                     hi[cursor] = s.hi
                     pref[cursor] = -(cursor + 1)
-                    seed_trav.append(tuple(s.traversed))
-                    seed_ing.append(tuple(s.traversing))
+                    tups.append((tuple(s.traversed), tuple(s.traversing)))
                     cursor += 1
                 body = read[: read.size - k][::-1]
                 reads_T[: body.size, row] = body
+            P0 = max((max(len(t), len(g)) for t, g in tups), default=0)
+            P0 = max(P0, 1)
+            s_trav = np.zeros((cursor, P0, 2), dtype=np.int32)
+            s_ing = np.zeros((cursor, P0, 2), dtype=np.int32)
+            s_nt = np.zeros(cursor, dtype=np.int32)
+            s_ni = np.zeros(cursor, dtype=np.int32)
+            for si, (t, g) in enumerate(tups):
+                s_nt[si] = len(t)
+                s_ni[si] = len(g)
+                for pi, locus in enumerate(t):
+                    s_trav[si, pi] = locus
+                for pi, locus in enumerate(g):
+                    s_ing[si, pi] = locus
+            seeds = (s_trav, s_nt, s_ing, s_ni)
 
         if steps > 0 and cursor > 0:
             import logging
@@ -408,10 +488,27 @@ class LogBatchedEngine:
         else:
             carry_np = carry
             log_parent = log_event = np.empty(0, dtype=np.int32)
+        return (results, rows, carry_np, log_parent, log_event, seeds,
+                host_rows)
+
+    def search_buffer(self, buffer, kmer_index, kmer_size, stats):
+        from .search import (handle_allele_encapsulated_states,
+                             search_read_backwards)
+
+        k = kmer_size
+        (results, rows, carry_np, log_parent, log_event, seeds,
+         host_rows) = self._scan_rows(buffer, kmer_index, kmer_size, stats)
+        if not rows:
+            return results
         (f_read_id, f_lo, f_hi, f_pref, overflow) = carry_np
+        s_trav, s_nt, s_ing, s_ni = seeds
 
         # group final pool states by read, replaying paths from the log
-        seed_paths = lambda si: (seed_trav[si], seed_ing[si])
+        def seed_paths(si):
+            nt, ni = int(s_nt[si]), int(s_ni[si])
+            return (tuple(map(tuple, s_trav[si, :nt].tolist())),
+                    tuple(map(tuple, s_ing[si, :ni].tolist())))
+
         per_row_states: dict = {}
         order = np.argsort(f_read_id, kind="stable")
         for pi in order:
@@ -436,3 +533,90 @@ class LogBatchedEngine:
                     per_row_states.get(row, []), self.idx)
             results[i].append((states, int(read.size)))
         return results
+
+    def record_buffer(self, buffer, kmer_index, kmer_size, stats, coverage,
+                      selection_seeds, first_raws):
+        """Scan + vectorised selection/recording for a whole buffer.
+        Hard cases (overflow, unseeded, LocusFinder edge features) re-map
+        and record through the exact scalar path."""
+        from .coverage import record_search_states
+        from .coverage_fast import SiteMeta, select_and_record
+        from .search import search_read_backwards
+
+        k = kmer_size
+        (results, rows, carry_np, log_parent, log_event, seeds,
+         host_rows) = self._scan_rows(buffer, kmer_index, kmer_size, stats)
+        if not rows:
+            return
+        (f_read_id, f_lo, f_hi, f_pref, overflow) = carry_np
+        s_trav, s_nt, s_ing, s_ni = seeds
+
+        sel, trav, n_trav, ing, n_ing = replay_paths_vectorised(
+            f_read_id, f_pref, log_parent, log_event,
+            s_trav, s_nt, s_ing, s_ni, self.jt, self.di.n_outcomes)
+
+        nrows = len(rows)
+        # rows handled by the scalar path from the start
+        scalar_rows = np.zeros(nrows, dtype=bool)
+        for r in host_rows:
+            scalar_rows[r] = True
+        scalar_rows |= overflow[:nrows]
+
+        st_row = f_read_id[sel].astype(np.int64)
+        keep = (st_row < nrows) & ~scalar_rows[np.clip(st_row, 0, nrows - 1)]
+        sel, st_row = sel[keep], st_row[keep]
+        trav, n_trav = trav[keep], n_trav[keep]
+        ing, n_ing = ing[keep], n_ing[keep]
+
+        row_seed = np.array([selection_seeds[i] for i, _ in rows],
+                            dtype=np.int64)
+        row_first = np.array([int(first_raws[i]) for i, _ in rows],
+                             dtype=np.int64)
+        row_len = np.array([r.size for _, r in rows], dtype=np.int64)
+
+        if self._site_meta is None:
+            self._site_meta = SiteMeta(self.idx)
+        vec_fallback = select_and_record(
+            self.idx, coverage,
+            st_row, f_lo[sel].astype(np.int64), f_hi[sel].astype(np.int64),
+            trav, n_trav, ing, n_ing,
+            row_seed, row_first, row_len, site_meta=self._site_meta)
+
+        has_states = np.zeros(nrows, dtype=bool)
+        has_states[st_row] = True
+
+        # scalar path: pre-flagged rows re-map; vector-fallback rows reuse
+        # their replayed states
+        for row, (i, read) in enumerate(rows):
+            if scalar_rows[row]:
+                self.host_fallbacks += 1
+                seed = read[read.size - k:].astype(np.uint8).tobytes()
+                seed_states = kmer_index.get(seed, [])
+                states = (search_read_backwards(read, seed_states, k, self.idx)
+                          if seed_states else [])
+                if not states:
+                    stats.no_extension_reads_count += 1
+                    continue
+                stats.exact_mapped_reads_count += 1
+                record_search_states(coverage, states, int(read.size),
+                                     self.idx, selection_seeds[i],
+                                     int(first_raws[i]))
+                continue
+            self.device_mapped += 1
+            if not has_states[row]:
+                stats.no_extension_reads_count += 1
+                continue
+            stats.exact_mapped_reads_count += 1
+            if vec_fallback[row]:
+                from .search import handle_allele_encapsulated_states
+                mask = st_row == row
+                states = [
+                    SearchState(
+                        int(f_lo[s]), int(f_hi[s]),
+                        tuple(map(tuple, trav[j, :n_trav[j]].tolist())),
+                        tuple(map(tuple, ing[j, :n_ing[j]].tolist())))
+                    for j, s in zip(np.flatnonzero(mask), sel[mask])]
+                states = handle_allele_encapsulated_states(states, self.idx)
+                record_search_states(coverage, states, int(read.size),
+                                     self.idx, selection_seeds[i],
+                                     int(first_raws[i]))

@@ -142,6 +142,9 @@ class NodeTables:
             dtype=np.int32, count=int(self.edge_offset[-1]))
         in_bubble = np.array([nd.in_bubble() for nd in g.nodes], dtype=bool)
         self.in_bubble = in_bubble
+        self.site_id = np.array([nd.site_id for nd in g.nodes], dtype=np.int32)
+        self.allele_id = np.array([nd.allele_id for nd in g.nodes],
+                                  dtype=np.int32)
 
 
 class _GraphBuilder:
