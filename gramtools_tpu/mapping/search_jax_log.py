@@ -50,11 +50,18 @@ class LogConfig:
     hits: int = 2048     # G: marker hits processed per step (global)
 
 
-def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int):
+def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
+                    occ_rows=None):
+    """occ_rows: optional (rows)->(rows..., 4) gather over the occ table.
+    The default gathers the replicated di.occ; parallel/sharded_index.py
+    injects a psum-of-partial-gathers over an SA-range-sharded occ so
+    graphs larger than one device's HBM still run this exact step."""
     B = di.n_outcomes
     N = cfg.pool
     G = cfg.hits
     n = di.size
+    if occ_rows is None:
+        occ_rows = lambda rows: di.occ[jnp.clip(rows, 0, n)]
 
     def step(carry, xs):
         base_row, log_base = xs
@@ -65,8 +72,8 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int):
         active = valid & (base > 0)
 
         # ---- 1. occ row gathers: LF + marker counts ---------------------
-        row_lo = di.occ[jnp.clip(lo, 0, n)]             # (N,4)
-        row_hi = di.occ[jnp.clip(hi + 1, 0, n)]         # (N,4)
+        row_lo = occ_rows(lo)                           # (N,4)
+        row_hi = occ_rows(hi + 1)                       # (N,4)
         onehot = (base[:, None] == jnp.arange(1, 5))    # (N,4)
         first = di.sym_start[jnp.clip(base, 0, 4)]
         nlo = first + jnp.sum(row_lo * onehot, axis=1)
@@ -108,8 +115,8 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int):
         j_lo = di.out_lo[li]                             # (G,B)
         j_hi = di.out_hi[li]
         cand_ok = (loc >= 0)[:, None] & (j_lo >= 0)
-        jrow_lo = di.occ[jnp.clip(j_lo, 0, n)]           # (G,B,4)
-        jrow_hi = di.occ[jnp.clip(j_hi + 1, 0, n)]
+        jrow_lo = occ_rows(j_lo)                         # (G,B,4)
+        jrow_hi = occ_rows(j_hi + 1)
         j_base = base[s_of_g]                            # (G,)
         j_onehot = (j_base[:, None] == jnp.arange(1, 5))  # (G,4)
         j_first = di.sym_start[jnp.clip(j_base, 0, 4)]
@@ -169,8 +176,8 @@ def _resize_pool(carry, pool: int, num_reads: int):
             z(lo), z(hi), z(pref), overflow)
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads"))
-def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
+def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
+                       occ_rows=None):
     """phases: tuple of (n_steps, pool, hits) segments covering the scan.
 
     The live-state count and marker-hit volume both peak right after
@@ -184,7 +191,7 @@ def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
     for n_steps, pool, hits in phases:
         cfg = LogConfig(pool=pool, hits=hits)
         carry = _resize_pool(carry, pool, num_reads)
-        step = _build_log_step(di, cfg, num_reads)
+        step = _build_log_step(di, cfg, num_reads, occ_rows=occ_rows)
         lb = log_base + jnp.arange(n_steps, dtype=jnp.int32) * (
             hits * di.n_outcomes)
         xs = (jax.lax.slice_in_dim(reads_T, offset, offset + n_steps), lb)
@@ -194,6 +201,11 @@ def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
         log_base += n_steps * hits * di.n_outcomes
         offset += n_steps
     return carry, (jnp.concatenate(logs_p), jnp.concatenate(logs_e))
+
+
+@partial(jax.jit, static_argnames=("phases", "num_reads"))
+def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
+    return _log_search_phases(di, reads_T, carry, phases, num_reads)
 
 
 def auto_phases(steps: int, num_reads: int, cfg: LogConfig):
@@ -374,6 +386,10 @@ class LogBatchedEngine:
         self._site_meta = None
         self.host_fallbacks = 0
         self.device_mapped = 0
+        self.device_retried = 0
+        # below this many overflowed reads, exact host re-maps beat a
+        # second full-budget device scan
+        self.retry_min = int(os.environ.get("GRAMTOOLS_TPU_RETRY_MIN", "16"))
 
     def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
         """Kmer filter + seed + device scan. Returns (results_skeleton,
@@ -496,11 +512,84 @@ class LogBatchedEngine:
             logging.getLogger("gramtools_tpu").debug(
                 "device search: %d rows, %d seed states, %.2fs",
                 len(rows), cursor, time.perf_counter() - t0)
+            carry_np, log_parent, log_event = self._retry_overflow(
+                carry_np, log_parent, log_event, carry, reads_T, len(rows))
         else:
             carry_np = carry
             log_parent = log_event = np.empty(0, dtype=np.int32)
         return (results, rows, carry_np, log_parent, log_event, seeds,
                 host_rows)
+
+    def _retry_overflow(self, carry_np, log_parent, log_event, init_carry,
+                        reads_T, nrows):
+        """One full-budget device re-scan of reads the phased plan
+        overflowed (budget spill or pool shrink), before any host
+        fallback. The genealogy-log encoding makes the merge linear:
+        pass-2 newborn prefs/log-parents shift by pass-1's log length;
+        negative (seed) prefs reference the same seed list and need no
+        change. Reads that overflow again keep their flag (-> exact host
+        re-map). Worth one extra scan only when many reads overflowed
+        (dense/repetitive graphs); a handful is cheaper on the host."""
+        overflow = carry_np[4]
+        ovf_rows = np.flatnonzero(overflow[:nrows])
+        if ovf_rows.size < self.retry_min or reads_T.shape[0] == 0:
+            return carry_np, log_parent, log_event
+        import logging
+
+        init_read_id, init_lo, init_hi, init_pref, _ = init_carry
+        row_map = np.full(nrows, -1, dtype=np.int32)
+        row_map[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
+        sel = np.flatnonzero(
+            (init_read_id >= 0)
+            & np.isin(init_read_id, ovf_rows, assume_unique=False))
+        R2 = _next_pow2(ovf_rows.size, floor=8)
+        if sel.size > self.cfg.pool:
+            return carry_np, log_parent, log_event
+        carry2 = empty_log_carry(R2, self.cfg)
+        rid2, lo2, hi2, pref2, _ = carry2
+        n2 = sel.size
+        rid2[:n2] = row_map[init_read_id[sel]]
+        lo2[:n2] = init_lo[sel]
+        hi2[:n2] = init_hi[sel]
+        pref2[:n2] = init_pref[sel]          # same seed list
+        reads_T2 = np.zeros((reads_T.shape[0], R2), dtype=reads_T.dtype)
+        reads_T2[:, :ovf_rows.size] = reads_T[:, ovf_rows]
+
+        steps = reads_T.shape[0]
+        fn = make_log_search(self.di, self.cfg, R2,
+                             phases=((steps, self.cfg.pool, self.cfg.hits),))
+        out2, log2 = fn(jnp.asarray(reads_T2), jax.device_put(carry2))
+        jax.block_until_ready(out2)
+        c2 = jax.tree_util.tree_map(np.asarray, out2)
+        lp2 = np.asarray(log2[0]).reshape(-1).copy()
+        le2 = np.asarray(log2[1]).reshape(-1)
+        L1 = log_parent.size
+        lp2[lp2 >= 0] += L1
+
+        f_rid, f_lo, f_hi, f_pref, _ = (a.copy() for a in carry_np[:5])
+        # pass-1 states of retried reads are incomplete: drop them
+        drop = (f_rid >= 0) & np.isin(f_rid, ovf_rows)
+        f_rid[drop] = -1
+        rid2_f, lo2_f, hi2_f, pref2_f, ovf2 = c2
+        live2 = rid2_f >= 0
+        pref2_m = pref2_f.copy()
+        pref2_m[live2 & (pref2_m >= 0)] += L1
+        rid2_m = np.where(live2, ovf_rows[np.clip(rid2_f, 0, ovf_rows.size - 1)],
+                          -1).astype(f_rid.dtype)
+
+        overflow = overflow.copy()
+        overflow[ovf_rows] = ovf2[:ovf_rows.size]
+        self.device_retried += int(ovf_rows.size)
+        logging.getLogger("gramtools_tpu").debug(
+            "device retry: %d reads, %d still overflowed",
+            ovf_rows.size, int(ovf2[:ovf_rows.size].sum()))
+        merged = (np.concatenate([f_rid, rid2_m]),
+                  np.concatenate([f_lo, lo2_f]),
+                  np.concatenate([f_hi, hi2_f]),
+                  np.concatenate([f_pref, pref2_m]),
+                  overflow)
+        return (merged, np.concatenate([log_parent, lp2]),
+                np.concatenate([log_event, le2]))
 
     def search_buffer(self, buffer, kmer_index, kmer_size, stats):
         from .search import (handle_allele_encapsulated_states,

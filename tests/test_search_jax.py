@@ -131,3 +131,88 @@ def test_device_engine_integration_parity(fixture, expected_grouped,
         [str(DATA_DIR / fixture / "reads.fastq")], kmer_index, idx, 5,
         seed=42, engine=engine)
     assert coverage.grouped_counts == expected_grouped
+
+
+def test_device_retry_pass():
+    """Reads that overflow the phased plan's reduced budgets get one
+    full-budget device re-scan (merged through the genealogy log)
+    instead of falling straight back to the host engine."""
+    rng = np.random.RandomState(7)
+    tail = "".join(rng.choice(list("ACGT"), size=60))
+    prg_str = "GT" + "[A,C]" * 10 + tail
+    idx = build_prg_index(PrgString(prg_string_to_ints(prg_str)))
+    k = 3
+    kmer_index = build_kmer_index(idx, k)
+    engine = LogBatchedEngine(idx, k, LogConfig(pool=512, hits=64))
+    engine.retry_min = 1
+
+    read = np.frombuffer(("GT" + "A" * 10 + tail).encode(), dtype=np.uint8)
+    from gramtools_tpu.common.seq import encode_dna
+    read = encode_dna("GT" + "A" * 10 + tail)
+    reads = [read.copy() for _ in range(20)]
+
+    class S:
+        all_reads_count = 0
+        skipped_reads_count = 0
+        missing_kmer_reads_count = 0
+        no_extension_reads_count = 0
+        exact_mapped_reads_count = 0
+
+    results = engine.search_buffer(reads, kmer_index, k, S())
+    assert engine.device_retried > 0, "retry path not exercised"
+    # the retry recovers most overflowed reads; genuinely over-budget
+    # ones still fall back to the exact host engine
+    assert engine.host_fallbacks < engine.device_retried
+
+    from gramtools_tpu.common.seq import revcomp
+    from gramtools_tpu.mapping.quasimap import all_read_kmers_in_index
+    for i, r in enumerate(reads):
+        expected = []
+        for oriented in (r, revcomp(r)):
+            if not all_read_kmers_in_index(k, oriented, kmer_index):
+                continue
+            seed_states = kmer_index.get(
+                oriented[oriented.size - k:].astype(np.uint8).tobytes(), [])
+            states = (search_read_backwards(oriented, seed_states, k, idx)
+                      if seed_states else [])
+            expected.append((states, int(oriented.size)))
+        assert len(results[i]) == len(expected)
+        for (got_states, got_len), (exp_states, exp_len) in zip(
+                results[i], expected):
+            assert got_len == exp_len
+            assert states_key(got_states) == states_key(exp_states)
+
+
+def test_device_retry_through_recording(tmp_path):
+    """The retry pass also feeds the vectorised selection/recording path:
+    coverage through quasimap_reads must equal the host engine's."""
+    from gramtools_tpu.common.seq import encode_dna
+    from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
+
+    rng = np.random.RandomState(7)
+    tail = "".join(rng.choice(list("ACGT"), size=60))
+    prg_str = "GT" + "[A,C]" * 10 + tail
+    idx = build_prg_index(PrgString(prg_string_to_ints(prg_str)))
+    k = 3
+    kmer_index = build_kmer_index_vectorised(idx, k)
+
+    read = "GT" + "A" * 10 + tail
+    fq = tmp_path / "reads.fastq"
+    fq.write_text("".join(f"@r{i}\n{read}\nZ\n{'I' * len(read)}\n"
+                          for i in range(20)).replace("Z", "+"))
+
+    engine = LogBatchedEngine(idx, k, LogConfig(pool=512, hits=64))
+    engine.retry_min = 1
+    stats_d, cov_d = quasimap_reads([str(fq)], kmer_index, idx, k,
+                                    seed=42, engine=engine)
+    assert engine.device_retried > 0
+    pb_d = idx.graph.coverage.copy()
+
+    # per-base coverage accumulates on the graph: fresh index for host run
+    idx_h = build_prg_index(PrgString(prg_string_to_ints(prg_str)))
+    kmer_index_h = build_kmer_index_vectorised(idx_h, k)
+    stats_h, cov_h = quasimap_reads([str(fq)], kmer_index_h, idx_h, k, seed=42)
+    assert cov_d.grouped_counts == cov_h.grouped_counts
+    assert cov_d.allele_sum == cov_h.allele_sum
+    assert np.array_equal(pb_d, idx_h.graph.coverage)
+    assert stats_d.exact_mapped_reads_count == stats_h.exact_mapped_reads_count
