@@ -123,6 +123,12 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
     last_reported = 0
 
     pool = _make_pool(max_threads, idx, kmer_index, kmer_size)
+    # pipelined engines expose scan_submit/record_complete: the device
+    # scans buffer N+1 while the host records buffer N
+    pipelined = (engine is not None and pool is None
+                 and hasattr(engine, "scan_submit")
+                 and hasattr(engine, "record_complete"))
+    in_flight = None  # (token, selection_seeds, first_raws)
     try:
         for reads_fpath in reads_fpaths:
             for buffer in iter_read_buffers(reads_fpath):
@@ -136,7 +142,13 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                                    for _ in range(READS_BUFFER_SIZE)]
                 first_raws = first_raw_draws(np.asarray(selection_seeds,
                                                         dtype=np.uint32))
-                if engine is not None:
+                if pipelined:
+                    token = engine.scan_submit(buffer, kmer_index, kmer_size,
+                                               stats)
+                    if in_flight is not None:
+                        engine.record_complete(*in_flight, stats, coverage)
+                    in_flight = (token, selection_seeds, first_raws)
+                elif engine is not None:
                     _map_buffer_batched(buffer, selection_seeds, first_raws,
                                         coverage, kmer_index, idx, kmer_size,
                                         stats, engine, pool)
@@ -153,6 +165,9 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                                                  idx, kmer_size, stats,
                                                  selection_seeds[i],
                                                  int(first_raws[i]))
+        if in_flight is not None:
+            engine.record_complete(*in_flight, stats, coverage)
+            in_flight = None
     finally:
         if pool is not None:
             pool.terminate()

@@ -50,6 +50,17 @@ class LogConfig:
     hits: int = 2048     # G: marker hits processed per step (global)
 
 
+def _row_capacity(n_rows: int) -> int:
+    """Batch-row padding: pow2 keeps the compiled-shape count low for
+    small batches; past 4096 rows, pow2 wastes up to ~2x device work
+    (a 5000-read buffer is 10000 oriented rows -> 16384), so pad to a
+    2048 multiple instead. Production buffers are a fixed 5000 reads,
+    so this still compiles once."""
+    if n_rows <= 4096:
+        return _next_pow2(n_rows, floor=8)
+    return _round_up(n_rows, 2048)
+
+
 def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
                     occ_rows=None):
     """occ_rows: optional (rows)->(rows..., 4) gather over the occ table.
@@ -206,6 +217,35 @@ def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
 @partial(jax.jit, static_argnames=("phases", "num_reads"))
 def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
     return _log_search_phases(di, reads_T, carry, phases, num_reads)
+
+
+@partial(jax.jit, static_argnames=("phases", "num_reads"))
+def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads):
+    """Like _log_search_impl but returns ONE flat int32 array: every
+    result leaf fetched separately pays a full host<->device round trip
+    (expensive through a remote-device relay), so the engine packs the
+    final carry + genealogy log on device and unpacks on host."""
+    carry, (lp, le) = _log_search_phases(di, reads_T, carry, phases, num_reads)
+    rid, lo, hi, pref, ovf = carry
+    return jnp.concatenate([rid, lo, hi, pref, ovf.astype(jnp.int32),
+                            lp.reshape(-1), le.reshape(-1)])
+
+
+def _unpack_result(flat: np.ndarray, phases, num_reads: int,
+                   n_outcomes: int):
+    """Host-side split of _log_search_packed's output. Returns
+    (carry_np, log_parent, log_event)."""
+    N = phases[-1][1]
+    L = sum(n * h for n, _, h in phases) * n_outcomes
+    rid = flat[:N]
+    lo = flat[N:2 * N]
+    hi = flat[2 * N:3 * N]
+    pref = flat[3 * N:4 * N]
+    ovf = flat[4 * N:4 * N + num_reads].astype(bool)
+    lp = flat[4 * N + num_reads:4 * N + num_reads + L]
+    le = flat[4 * N + num_reads + L:]
+    assert le.size == L, (le.size, L)
+    return (rid, lo, hi, pref, ovf), lp, le
 
 
 def auto_phases(steps: int, num_reads: int, cfg: LogConfig):
@@ -384,6 +424,7 @@ class LogBatchedEngine:
         self.cfg = cfg
         self.replayer = PathReplayer(self.jt, self.di.n_outcomes)
         self._site_meta = None
+        self._last_kmer_index = None
         self.host_fallbacks = 0
         self.device_mapped = 0
         self.device_retried = 0
@@ -394,10 +435,19 @@ class LogBatchedEngine:
     def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
         """Kmer filter + seed + device scan. Returns (results_skeleton,
         rows, carry_np, log_parent, log_event, seed arrays, host_rows)."""
+        return self.scan_complete(
+            self.scan_submit(buffer, kmer_index, kmer_size, stats))
+
+    def scan_submit(self, buffer, kmer_index, kmer_size, stats):
+        """Host filter + seeding, then *async* device dispatch: returns a
+        pending token for scan_complete without blocking, so the device
+        scans this buffer while the host finishes the previous one
+        (the driver pipelines buffers through submit/complete)."""
         from ..common.seq import revcomp
         from .quasimap import all_read_kmers_in_index
 
         k = kmer_size
+        self._last_kmer_index = kmer_index
         results = [[] for _ in buffer]
 
         # batch kmer-presence screen over all orientations at once
@@ -412,7 +462,7 @@ class LogBatchedEngine:
             oriented_all.append(revcomp(read))
             owners.extend((i, i))
         if not oriented_all:
-            return results, [], None, None, None, None, set()
+            return (results, [], None, None, set(), None, None)
         batch_filter = getattr(kmer_index, "batch_all_indexed", None)
         if batch_filter is not None:
             passed = batch_filter(oriented_all)
@@ -427,9 +477,9 @@ class LogBatchedEngine:
                 stats.missing_kmer_reads_count += 1
 
         if not rows:
-            return results, [], None, None, None, None, set()
+            return (results, [], None, None, set(), None, None)
 
-        R = _next_pow2(len(rows), floor=8)
+        R = _row_capacity(len(rows))
         max_len = max(r.size for _, r in rows)
         steps = _round_up(max(max_len - k, 0), 32)
         carry = empty_log_carry(R, self.cfg)
@@ -500,18 +550,24 @@ class LogBatchedEngine:
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
         if steps > 0 and cursor > 0:
-            import logging
-            import time
-            t0 = time.perf_counter()
-            fn = make_log_search(self.di, self.cfg, R)
-            out, log = fn(jnp.asarray(reads_T), jax.device_put(carry))
-            jax.block_until_ready(out)
-            carry_np = jax.tree_util.tree_map(np.asarray, out)
-            log_parent = np.asarray(log[0]).reshape(-1)
-            log_event = np.asarray(log[1]).reshape(-1)
-            logging.getLogger("gramtools_tpu").debug(
-                "device search: %d rows, %d seed states, %.2fs",
-                len(rows), cursor, time.perf_counter() - t0)
+            phases = auto_phases(steps, R, self.cfg)
+            device_out = (_log_search_packed(
+                self.di, jnp.asarray(reads_T), jax.device_put(carry),
+                phases, R), phases, R)
+        else:
+            device_out = None
+        return (results, rows, device_out, seeds, host_rows, carry, reads_T)
+
+    def scan_complete(self, token):
+        """Blocks on a scan_submit token; returns (results_skeleton,
+        rows, carry_np, log_parent, log_event, seed arrays, host_rows)."""
+        results, rows, device_out, seeds, host_rows, carry, reads_T = token
+        if device_out is not None:
+            flat, phases, R = device_out
+            # result tree packed on device -> ONE host<->device round
+            # trip (each leaf fetched separately pays a full relay trip)
+            carry_np, log_parent, log_event = _unpack_result(
+                jax.device_get(flat), phases, R, self.di.n_outcomes)
             carry_np, log_parent, log_event = self._retry_overflow(
                 carry_np, log_parent, log_event, carry, reads_T, len(rows))
         else:
@@ -542,7 +598,7 @@ class LogBatchedEngine:
         sel = np.flatnonzero(
             (init_read_id >= 0)
             & np.isin(init_read_id, ovf_rows, assume_unique=False))
-        R2 = _next_pow2(ovf_rows.size, floor=8)
+        R2 = _row_capacity(ovf_rows.size)
         if sel.size > self.cfg.pool:
             return carry_np, log_parent, log_event
         carry2 = empty_log_carry(R2, self.cfg)
@@ -556,13 +612,12 @@ class LogBatchedEngine:
         reads_T2[:, :ovf_rows.size] = reads_T[:, ovf_rows]
 
         steps = reads_T.shape[0]
-        fn = make_log_search(self.di, self.cfg, R2,
-                             phases=((steps, self.cfg.pool, self.cfg.hits),))
-        out2, log2 = fn(jnp.asarray(reads_T2), jax.device_put(carry2))
-        jax.block_until_ready(out2)
-        c2 = jax.tree_util.tree_map(np.asarray, out2)
-        lp2 = np.asarray(log2[0]).reshape(-1).copy()
-        le2 = np.asarray(log2[1]).reshape(-1)
+        p2 = ((steps, self.cfg.pool, self.cfg.hits),)
+        flat2 = _log_search_packed(self.di, jnp.asarray(reads_T2),
+                                   jax.device_put(carry2), p2, R2)
+        c2, lp2, le2 = _unpack_result(jax.device_get(flat2), p2, R2,
+                                      self.di.n_outcomes)
+        lp2 = lp2.copy()
         L1 = log_parent.size
         lp2[lp2 >= 0] += L1
 
@@ -639,13 +694,25 @@ class LogBatchedEngine:
         """Scan + vectorised selection/recording for a whole buffer.
         Hard cases (overflow, unseeded, LocusFinder edge features) re-map
         and record through the exact scalar path."""
+        token = self.scan_submit(buffer, kmer_index, kmer_size, stats)
+        self.record_complete(token, selection_seeds, first_raws, stats,
+                             coverage, kmer_index, kmer_size)
+
+    def record_complete(self, token, selection_seeds, first_raws, stats,
+                        coverage, kmer_index=None, kmer_size=None):
+        """Second half of the pipelined record path: blocks on the device
+        scan of ``token`` (submitted by scan_submit) then runs vectorised
+        selection + recording. kmer_index/kmer_size default to the
+        engine's own (needed only for scalar fallback re-maps)."""
         from .coverage import record_search_states
         from .coverage_fast import SiteMeta, select_and_record
         from .search import search_read_backwards
 
-        k = kmer_size
+        if kmer_index is None:
+            kmer_index = self._last_kmer_index
+        k = self.kmer_size if kmer_size is None else kmer_size
         (results, rows, carry_np, log_parent, log_event, seeds,
-         host_rows) = self._scan_rows(buffer, kmer_index, kmer_size, stats)
+         host_rows) = self.scan_complete(token)
         if not rows:
             return
         (f_read_id, f_lo, f_hi, f_pref, overflow) = carry_np
