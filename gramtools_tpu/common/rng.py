@@ -32,6 +32,12 @@ class RandomInclusiveInt:
         # One raw 32-bit mt19937 output.
         return int(self._state.randint(0, 1 << 32, dtype=np.uint32))
 
+    def raw_block(self, n: int) -> list:
+        """n raw draws in one call; identical stream to n _raw() calls
+        (full-range uint32 randint consumes one twist output per value)."""
+        return self._state.randint(0, 1 << 32, size=n,
+                                   dtype=np.uint32).tolist()
+
     def generate(self, lo: int, hi: int) -> int:
         """uniform_int_distribution<uint32_t>(lo, hi) draw, libstdc++ algorithm.
 

@@ -138,8 +138,8 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                     last_reported = stats.all_reads_count
                 # one seed drawn per buffer slot, even for unfilled slots
                 # (quasimap.cpp:136-137): preserves RNG stream parity
-                selection_seeds = [master_seed_generator._raw()
-                                   for _ in range(READS_BUFFER_SIZE)]
+                selection_seeds = master_seed_generator.raw_block(
+                    READS_BUFFER_SIZE)
                 first_raws = first_raw_draws(np.asarray(selection_seeds,
                                                         dtype=np.uint32))
                 if pipelined:

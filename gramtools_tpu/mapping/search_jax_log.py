@@ -451,30 +451,50 @@ class LogBatchedEngine:
         results = [[] for _ in buffer]
 
         # batch kmer-presence screen over all orientations at once
-        oriented_all = []
-        owners = []
-        for i, read in enumerate(buffer):
-            stats.all_reads_count += 2
-            if read.size == 0:
-                stats.skipped_reads_count += 2
-                continue
-            oriented_all.append(read)
-            oriented_all.append(revcomp(read))
-            owners.extend((i, i))
-        if not oriented_all:
+        from ..common.seq import _COMPLEMENT_LUT
+
+        sizes = np.array([r.size for r in buffer], dtype=np.int64)
+        nz = np.flatnonzero(sizes > 0)
+        stats.all_reads_count += 2 * len(buffer)
+        stats.skipped_reads_count += 2 * int(len(buffer) - nz.size)
+        if nz.size == 0:
             return (results, [], None, None, set(), None, None)
-        batch_filter = getattr(kmer_index, "batch_all_indexed", None)
-        if batch_filter is not None:
-            passed = batch_filter(oriented_all)
+        matrix_filter = getattr(kmer_index, "batch_all_indexed_matrix", None)
+        equal_len = (sizes[nz] == sizes[nz[0]]).all()
+        rows_mat = None
+        if equal_len and matrix_filter is not None and sizes[nz[0]] >= k:
+            # equal-length fast path: one (2n, L) matrix, vectorised
+            # revcomp + filter, row views into the matrix afterwards
+            fwd = np.stack([buffer[i] for i in nz])
+            mat = np.empty((2 * nz.size, fwd.shape[1]), dtype=np.uint8)
+            mat[0::2] = fwd
+            mat[1::2] = _COMPLEMENT_LUT[fwd[:, ::-1]]
+            owners = np.repeat(nz, 2)
+            passed = matrix_filter(mat)
+            stats.missing_kmer_reads_count += int(np.count_nonzero(~passed))
+            hit = np.flatnonzero(passed)
+            rows = [(int(owners[j]), mat[j]) for j in hit]
+            rows_mat = mat[hit]
         else:
-            passed = np.array([all_read_kmers_in_index(k, r, kmer_index)
-                               for r in oriented_all])
-        rows = []
-        for j, (i, oriented) in enumerate(zip(owners, oriented_all)):
-            if passed[j]:
-                rows.append((i, oriented))
+            oriented_all = []
+            owners = []
+            for i in nz:
+                read = buffer[i]
+                oriented_all.append(read)
+                oriented_all.append(revcomp(read))
+                owners.extend((i, i))
+            batch_filter = getattr(kmer_index, "batch_all_indexed", None)
+            if batch_filter is not None:
+                passed = batch_filter(oriented_all)
             else:
-                stats.missing_kmer_reads_count += 1
+                passed = np.array([all_read_kmers_in_index(k, r, kmer_index)
+                                   for r in oriented_all])
+            rows = []
+            for j, (i, oriented) in enumerate(zip(owners, oriented_all)):
+                if passed[j]:
+                    rows.append((int(i), oriented))
+                else:
+                    stats.missing_kmer_reads_count += 1
 
         if not rows:
             return (results, [], None, None, set(), None, None)
@@ -490,11 +510,17 @@ class LogBatchedEngine:
         seed_fn = getattr(kmer_index, "seed_batch", None)
         if seed_fn is not None and getattr(kmer_index, "trav", None) is not None:
             # vectorised seeding from the array-backed kmer index
-            last_kmers = np.zeros((len(rows), k), dtype=np.uint8)
-            for row, (i, read) in enumerate(rows):
-                last_kmers[row] = read[read.size - k:]
-                body = read[: read.size - k][::-1]
-                reads_T[: body.size, row] = body
+            if rows_mat is not None:
+                L = rows_mat.shape[1]
+                last_kmers = rows_mat[:, L - k:]
+                reads_T[: L - k, : rows_mat.shape[0]] = (
+                    rows_mat[:, : L - k][:, ::-1].T)
+            else:
+                last_kmers = np.zeros((len(rows), k), dtype=np.uint8)
+                for row, (i, read) in enumerate(rows):
+                    last_kmers[row] = read[read.size - k:]
+                    body = read[: read.size - k][::-1]
+                    reads_T[: body.size, row] = body
             owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = seed_fn(last_kmers)
             n_states = owner.size
             if n_states > self.cfg.pool:
