@@ -248,7 +248,8 @@ def _unpack_result(flat: np.ndarray, phases, num_reads: int,
     return (rid, lo, hi, pref, ovf), lp, le
 
 
-def auto_phases(steps: int, num_reads: int, cfg: LogConfig):
+def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
+                n_seed_states: int = 0):
     """Segment plan: full (pool, hits) while seed states die off (multiple
     kmer seeds per read collapse to ~1 survivor within a few bases), a
     mid segment at ~2 live states/read, then a steady tail at ~1.25
@@ -256,18 +257,32 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig):
     shrink flag their read for exact host re-mapping, so an
     under-provisioned tail costs fallback work, never correctness.
     Swept on TPU v5e (4.4Mb/100k-site graph, 4096x150bp): 29.1k reads/s
-    (single shrink at step 16) -> 39.3k reads/s (this plan), 0 overflow."""
+    (single shrink at step 16) -> 39.3k reads/s (this plan), 0 overflow.
+    When the actual seed-state count is known, the warm pool is sized to
+    2x it (fan-out headroom) instead of the full configured pool."""
     WARM, MID = 8, 24
-    pool_mid = min(cfg.pool, max(_next_pow2(2 * num_reads, floor=64), 64))
-    hits_mid = max(3 * cfg.hits // 8, 8)
+    pool_warm = cfg.pool
+    if n_seed_states:
+        pool_warm = min(cfg.pool,
+                        max(_next_pow2(2 * n_seed_states, floor=64), 64))
+    pool_mid = min(pool_warm, max(_next_pow2(2 * num_reads, floor=64), 64))
+    hits_mid = min(cfg.hits, max(3 * cfg.hits // 8, 8))
     pool_tail = min(pool_mid, max(_round_up(5 * num_reads // 4, 64), 64))
-    hits_tail = max(cfg.hits // 4, 8)
-    if steps <= WARM or pool_mid >= cfg.pool:
-        return ((steps, cfg.pool, cfg.hits),)
-    if steps <= WARM + MID:
-        return ((WARM, cfg.pool, cfg.hits), (steps - WARM, pool_mid, hits_mid))
-    return ((WARM, cfg.pool, cfg.hits), (MID, pool_mid, hits_mid),
-            (steps - WARM - MID, pool_tail, hits_tail))
+    hits_tail = min(hits_mid, max(cfg.hits // 4, 8))
+    plan = []
+    remaining = steps
+    for length, pool, hits in ((WARM, pool_warm, cfg.hits),
+                               (MID, pool_mid, hits_mid),
+                               (None, pool_tail, hits_tail)):
+        n = remaining if length is None else min(length, remaining)
+        if n <= 0:
+            break
+        if plan and (plan[-1][1], plan[-1][2]) == (pool, hits):
+            plan[-1] = (plan[-1][0] + n, pool, hits)
+        else:
+            plan.append((n, pool, hits))
+        remaining -= n
+    return tuple(plan)
 
 
 def make_log_search(di: DeviceIndex, cfg: LogConfig, num_reads: int,
@@ -501,7 +516,7 @@ class LogBatchedEngine:
 
         R = _row_capacity(len(rows))
         max_len = max(r.size for _, r in rows)
-        steps = _round_up(max(max_len - k, 0), 32)
+        steps = _round_up(max(max_len - k, 0), 16)
         carry = empty_log_carry(R, self.cfg)
         read_id, lo, hi, pref, _ = carry
         reads_T = np.zeros((steps, R), dtype=np.int32)
@@ -576,7 +591,7 @@ class LogBatchedEngine:
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
         if steps > 0 and cursor > 0:
-            phases = auto_phases(steps, R, self.cfg)
+            phases = auto_phases(steps, R, self.cfg, n_seed_states=cursor)
             device_out = (_log_search_packed(
                 self.di, jnp.asarray(reads_T), jax.device_put(carry),
                 phases, R), phases, R)
