@@ -32,7 +32,7 @@ class PoissonLogPmf:
 
     def vectorised(self, cov: np.ndarray) -> np.ndarray:
         lam = self.lam
-        with np.errstate(divide="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"):
             return -lam + cov * np.log(lam) - _lgamma_vec(cov + 1)
 
 

@@ -22,7 +22,7 @@ from .types import GenotypedSite
 class LevelGenotyper:
     def __init__(self, idx: PrgIndex, coverage: Coverage, read_stats,
                  ploidy: int, get_gcp: bool = True,
-                 debug_fpath: Optional[str] = None):
+                 debug_fpath: Optional[str] = None, use_fast: bool = True):
         self.idx = idx
         self.ploidy = ploidy
         g = idx.graph
@@ -36,16 +36,29 @@ class LevelGenotyper:
         debug_lines: List[str] = []
         debug = debug_fpath is not None
 
+        # simple (childless) sites depend only on coverage, so they are
+        # batch-genotyped upfront by the vectorised model; the bubble
+        # loop below then runs in reference order, so invalidation and
+        # filter propagation see sites in exactly the reference sequence
+        fast_sites = {}
+        if not debug and use_fast:
+            from .vector_model import batch_simple_sites
+            fast_sites = batch_simple_sites(idx, coverage, self.l_stats,
+                                            ploidy, self.child_map)
+
         # child-first bubble iteration (runner.cpp:54-92)
         for entry, exit_ in g.bubbles:
             site_id = g.node(entry).site_id
             site_index = site_id_to_index(site_id)
-            extracter = AlleleExtracter(idx, entry, exit_, self.genotyped_records)
-            gped_covs_for_site = coverage.grouped_counts[site_index]
-            data = ModelData(extracter.alleles, gped_covs_for_site,
-                             ploidy, self.l_stats, debug)
-            model = LevelGenotyperModel(data)
-            site = model.get_site()
+            site = fast_sites.get(site_index)
+            if site is None:
+                extracter = AlleleExtracter(idx, entry, exit_,
+                                            self.genotyped_records)
+                gped_covs_for_site = coverage.grouped_counts[site_index]
+                data = ModelData(extracter.alleles, gped_covs_for_site,
+                                 ploidy, self.l_stats, debug)
+                model = LevelGenotyperModel(data)
+                site = model.get_site()
             site.pos = g.node(entry).pos
             site.site_end_node = exit_
             self.genotyped_records[site_index] = site
