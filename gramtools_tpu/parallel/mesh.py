@@ -154,6 +154,46 @@ def make_sharded_flat_quasimap(mesh: Mesh, di: DeviceIndex, cfg,
     return partial(jax.jit(sharded), di)
 
 
+def make_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg,
+                            reads_per_shard: int, phases=None):
+    """Data-parallel PRODUCTION engine (genealogy-log scan,
+    search_jax_log): reads_T columns and the carry shard over 'data',
+    the index is replicated, and each shard runs the identical phased
+    scan. Per-shard genealogy logs return sharded (concatenated in
+    shard order, each of the static per-shard length), so the host-side
+    replay/recording pipeline applies per shard unchanged. Combine with
+    parallel/sharded_index.py for a ('data', 'idx') mesh when the occ
+    table itself must shard."""
+    import functools
+
+    from ..mapping.search_jax_log import _log_search_phases, auto_phases
+
+    def shard_fn(di_rep, reads_T, carry, p):
+        return _log_search_phases(di_rep, reads_T, carry, p, reads_per_shard)
+
+    di_specs = jax.tree_util.tree_map(lambda _: P(), di)
+    carry_specs = (P("data"),) * 5
+    log_spec = (P("data"), P("data"))
+
+    @functools.lru_cache(maxsize=None)
+    def build(p):
+        sharded = shard_map(
+            functools.partial(shard_fn, p=p), mesh=mesh,
+            in_specs=(di_specs, P(None, "data"), carry_specs),
+            out_specs=(carry_specs, log_spec),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def run(reads_T, carry):
+        p = phases
+        if p is None:
+            p = auto_phases(reads_T.shape[0], reads_per_shard, cfg)
+        return build(tuple(p))(di, reads_T, carry)
+
+    return run
+
+
 def run_sharded_flat_quasimap(mesh: Mesh, di: DeviceIndex,
                               reads: "list[np.ndarray]", num_sites: int,
                               max_alleles: int):

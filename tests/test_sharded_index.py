@@ -124,3 +124,44 @@ def test_occ_shard_memory(setup):
     assert rows_per_shard == -(-occ.shape[0] // 8)
     assert padded.shape[0] == rows_per_shard * 8
     assert np.array_equal(padded[:occ.shape[0]], occ)
+
+
+def test_data_parallel_log_search(setup):
+    """Pure data-parallel production engine (parallel/mesh.py
+    make_sharded_log_search): each shard's result equals an unsharded
+    run on its slice of the batch."""
+    from gramtools_tpu.parallel.mesh import make_sharded_log_search
+
+    idx, di = setup
+    cfg = LogConfig(pool=64, hits=16)
+    R_shard, length = 4, 16
+    n_dev = 4
+    rng = np.random.RandomState(2)
+    parts = [seeded_batch(idx, rng, R_shard, length, cfg)
+             for _ in range(n_dev)]
+    refs = [make_log_search(di, cfg, R_shard, phases=PHASES)(
+        rt, jax.device_put(c)) for rt, c in parts]
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("data",))
+    run = make_sharded_log_search(mesh, di, cfg, R_shard, phases=PHASES)
+    reads_T = jnp.concatenate([rt for rt, _ in parts], axis=1)
+    carry = tuple(np.concatenate(cs) for cs in zip(*[c for _, c in parts]))
+    (read_id, lo, hi, pref, ovf), (lp, le) = run(reads_T,
+                                                 jax.device_put(carry))
+
+    pool_f = np.asarray(refs[0][0][0]).shape[0]
+    L = np.asarray(refs[0][1][0]).size
+    for shard, ref in enumerate(refs):
+        (r_id, r_lo, r_hi, r_pref, r_ovf), (r_lp, r_le) = ref
+        s = slice(shard * pool_f, (shard + 1) * pool_f)
+        assert np.array_equal(np.asarray(read_id)[s], np.asarray(r_id))
+        assert np.array_equal(np.asarray(lo)[s], np.asarray(r_lo))
+        assert np.array_equal(np.asarray(hi)[s], np.asarray(r_hi))
+        assert np.array_equal(np.asarray(pref)[s], np.asarray(r_pref))
+        so = slice(shard * R_shard, (shard + 1) * R_shard)
+        assert np.array_equal(np.asarray(ovf)[so], np.asarray(r_ovf))
+        sl = slice(shard * L, (shard + 1) * L)
+        assert np.array_equal(np.asarray(lp).reshape(-1)[sl],
+                              np.asarray(r_lp).reshape(-1))
+        assert np.array_equal(np.asarray(le).reshape(-1)[sl],
+                              np.asarray(r_le).reshape(-1))
