@@ -104,9 +104,11 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
         process_report["engine"] = {
             "device_mapped": engine.device_mapped,
             "host_fallbacks": engine.host_fallbacks,
+            "device_retried": getattr(engine, "device_retried", 0),
         }
-        log.info("Engine: %d device-mapped, %d host fallbacks",
-                 engine.device_mapped, engine.host_fallbacks)
+        log.info("Engine: %d device-mapped, %d host fallbacks, %d retried",
+                 engine.device_mapped, engine.host_fallbacks,
+                 getattr(engine, "device_retried", 0))
     geno_report["processes"][action] = process_report
 
     with timer.phase("Coverage dumps"):

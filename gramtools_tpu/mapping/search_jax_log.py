@@ -46,7 +46,12 @@ from .search_jax import DeviceIndex, _next_pow2, _round_up
 
 @dataclass
 class LogConfig:
-    pool: int = 16384    # N: live states across the whole batch
+    # N: live-state capacity. This is a CAP, not the per-step width --
+    # auto_phases right-sizes the warm pool to the actual seed count and
+    # shrinks after die-off, so a large cap costs nothing on sparse
+    # graphs but stops dense graphs (many kmer seeds per read) from
+    # spilling whole reads to the host engine at seeding time.
+    pool: int = 131072
     hits: int = 2048     # G: marker hits processed per step (global)
 
 
@@ -446,6 +451,13 @@ class LogBatchedEngine:
         # below this many overflowed reads, exact host re-maps beat a
         # second full-budget device scan
         self.retry_min = int(os.environ.get("GRAMTOOLS_TPU_RETRY_MIN", "16"))
+        # adaptive hit budget: dense graphs overflow the phased hit
+        # budgets (every overflow costs a retry scan); when a buffer's
+        # overflow rate exceeds 2% the budget doubles for later buffers
+        # (one extra compile per step-up, then steady)
+        self.hits_boost = 1
+        self.max_hits_boost = int(os.environ.get(
+            "GRAMTOOLS_TPU_MAX_HITS_BOOST", "8"))
 
     def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
         """Kmer filter + seed + device scan. Returns (results_skeleton,
@@ -591,7 +603,15 @@ class LogBatchedEngine:
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
         if steps > 0 and cursor > 0:
-            phases = auto_phases(steps, R, self.cfg, n_seed_states=cursor)
+            cfg_eff = LogConfig(pool=self.cfg.pool,
+                                hits=self.cfg.hits * self.hits_boost)
+            phases = auto_phases(steps, R, cfg_eff, n_seed_states=cursor)
+            # ship only the warm-pool slice: the configured pool is a
+            # cap, transferring it wholesale wastes relay bandwidth
+            pool0 = phases[0][1]
+            if carry[0].shape[0] > pool0:
+                carry = (carry[0][:pool0], carry[1][:pool0],
+                         carry[2][:pool0], carry[3][:pool0], carry[4])
             device_out = (_log_search_packed(
                 self.di, jnp.asarray(reads_T), jax.device_put(carry),
                 phases, R), phases, R)
@@ -629,6 +649,8 @@ class LogBatchedEngine:
         (dense/repetitive graphs); a handful is cheaper on the host."""
         overflow = carry_np[4]
         ovf_rows = np.flatnonzero(overflow[:nrows])
+        if ovf_rows.size > max(0.02 * nrows, 8):
+            self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
         if ovf_rows.size < self.retry_min or reads_T.shape[0] == 0:
             return carry_np, log_parent, log_event
         import logging
@@ -642,7 +664,14 @@ class LogBatchedEngine:
         R2 = _row_capacity(ovf_rows.size)
         if sel.size > self.cfg.pool:
             return carry_np, log_parent, log_event
-        carry2 = empty_log_carry(R2, self.cfg)
+        # full-budget = generous, not the raw cap: pool scales from the
+        # retried seed count and rows, hits stay at the configured max
+        pool_r = min(self.cfg.pool,
+                     max(32768, _next_pow2(2 * sel.size),
+                         _next_pow2(8 * R2)))
+        hits_r = self.cfg.hits * max(self.hits_boost, 2)
+        cfg_r = LogConfig(pool=pool_r, hits=hits_r)
+        carry2 = empty_log_carry(R2, cfg_r)
         rid2, lo2, hi2, pref2, _ = carry2
         n2 = sel.size
         rid2[:n2] = row_map[init_read_id[sel]]
@@ -653,7 +682,7 @@ class LogBatchedEngine:
         reads_T2[:, :ovf_rows.size] = reads_T[:, ovf_rows]
 
         steps = reads_T.shape[0]
-        p2 = ((steps, self.cfg.pool, self.cfg.hits),)
+        p2 = ((steps, pool_r, hits_r),)
         flat2 = _log_search_packed(self.di, jnp.asarray(reads_T2),
                                    jax.device_put(carry2), p2, R2)
         c2, lp2, le2 = _unpack_result(jax.device_get(flat2), p2, R2,
