@@ -1,14 +1,27 @@
-"""Dual-coordinate region map between base reference and personalised
-reference.
+"""Dual-coordinate rebasing map: base reference <-> personalised reference.
 
-Parity: gramtools/commands/genotype/seq_region_map.py.
+Capability parity with the reference's region map used by genotype/discover
+(gramtools/commands/genotype/seq_region_map.py), re-designed here as a
+columnar store: each chromosome keeps three parallel int64 coordinate
+arrays (base-ref start, pers-ref start, run length) plus sparse ref/alt
+sequence columns for variant rows.  Position lookup is a single
+``np.searchsorted`` on the relevant coordinate column instead of a
+per-query Python binary search, so batch rebasing of many records is
+vectorisable.
+
+Coordinate convention (same as the reference): 1-based starts, a row
+covers ``[start, start + length)`` in its own coordinate system.  A
+variant row's length is the *personalised* (alt) length; its footprint on
+the base reference is ``len(ref_seq)``.
 """
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from enum import Enum, auto
-from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
 
 from ..common.vcf import VcfRecord
 
@@ -16,36 +29,36 @@ Chrom = str
 ChromSizes = Dict[Chrom, int]
 
 
+@dataclass(frozen=True)
 class SeqRegion:
-    def __init__(self, base_ref_start: int, pers_ref_start: int, length: int,
-                 vcf_record_ref: Optional[str] = None,
-                 vcf_record_alt: Optional[str] = None):
-        self.base_ref_start = base_ref_start
-        self.pers_ref_start = pers_ref_start
-        self.vcf_record_ref = vcf_record_ref
-        self.vcf_record_alt = vcf_record_alt
-        if vcf_record_alt is not None and length is not None:
-            if length != len(vcf_record_alt):
-                raise ValueError(
-                    f"{length} must be length of {vcf_record_alt} when both provided.")
-        self.length = length
+    """One dual-coordinate run (value object; rows materialise to these)."""
+
+    base_ref_start: int
+    pers_ref_start: int
+    length: int
+    vcf_record_ref: Optional[str] = None
+    vcf_record_alt: Optional[str] = None
+
+    def __post_init__(self):
+        if self.vcf_record_alt is not None and self.length != len(self.vcf_record_alt):
+            raise ValueError(
+                f"variant region length {self.length} disagrees with alt "
+                f"{self.vcf_record_alt!r} (pers-ref length is the alt length)")
 
     @property
-    def is_variant_region(self):
+    def is_variant_region(self) -> bool:
         return self.vcf_record_ref is not None
 
-    def __eq__(self, other):
-        return self.__dict__ == other.__dict__
-
-    def __repr__(self):
-        return str(self.__dict__)
-
     def to_json(self, dump_sequences: bool = True) -> Dict:
-        dumped = dict(self.__dict__)
-        if not dump_sequences:
-            dumped["vcf_record_ref"] = dumped["vcf_record_alt"] = None
-        dumped = {k: v for k, v in dumped.items() if v is not None}
-        return {"SeqRegion": dumped}
+        payload = {
+            "base_ref_start": self.base_ref_start,
+            "pers_ref_start": self.pers_ref_start,
+            "length": self.length,
+        }
+        if dump_sequences and self.is_variant_region:
+            payload["vcf_record_ref"] = self.vcf_record_ref
+            payload["vcf_record_alt"] = self.vcf_record_alt
+        return {"SeqRegion": payload}
 
     @staticmethod
     def from_json(dct):
@@ -58,104 +71,110 @@ SeqRegions = List[SeqRegion]
 SeqRegionsMap = Dict[Chrom, SeqRegions]
 
 
-class _PosTracker:
-    def __init__(self, base_ref_pos, pers_ref_pos):
-        self.base_ref_pos = base_ref_pos
-        self.pers_ref_pos = pers_ref_pos
+class _ChromRuns:
+    """Append-only run accumulator for one chromosome.
+
+    Keeps the dual cursors and the run rows; adjacent invariant runs are
+    coalesced on append so the frozen arrays are minimal.
+    """
+
+    __slots__ = ("base_starts", "pers_starts", "lengths", "refs", "alts",
+                 "base_cursor", "pers_cursor")
+
+    def __init__(self):
+        self.base_starts: List[int] = []
+        self.pers_starts: List[int] = []
+        self.lengths: List[int] = []
+        self.refs: List[Optional[str]] = []
+        self.alts: List[Optional[str]] = []
+        self.base_cursor = 1
+        self.pers_cursor = 1
+
+    def append_invariant(self, run_length: int) -> None:
+        if self.lengths and self.refs[-1] is None:
+            self.lengths[-1] += run_length
+        else:
+            self.base_starts.append(self.base_cursor)
+            self.pers_starts.append(self.pers_cursor)
+            self.lengths.append(run_length)
+            self.refs.append(None)
+            self.alts.append(None)
+        self.base_cursor += run_length
+        self.pers_cursor += run_length
+
+    def append_variant(self, ref_seq: str, alt_seq: str) -> None:
+        self.base_starts.append(self.base_cursor)
+        self.pers_starts.append(self.pers_cursor)
+        self.lengths.append(len(alt_seq))
+        self.refs.append(ref_seq)
+        self.alts.append(alt_seq)
+        self.base_cursor += len(ref_seq)
+        self.pers_cursor += len(alt_seq)
+
+    def close(self, chrom_size: int) -> None:
+        """Pad with the trailing invariant run up to the chrom end."""
+        if self.base_cursor <= chrom_size:
+            self.append_invariant(chrom_size - self.base_cursor + 1)
+
+    def to_regions(self) -> SeqRegions:
+        return [
+            SeqRegion(b, p, n, r, a)
+            for b, p, n, r, a in zip(self.base_starts, self.pers_starts,
+                                     self.lengths, self.refs, self.alts)
+        ]
+
+
+def _picked_allele(record: VcfRecord) -> int:
+    """First sample's first called allele; null / absent calls count as REF."""
+    calls = record.genotypes()
+    if not calls or set(calls) == {None}:
+        return 0
+    return calls[0]
 
 
 class SeqRegionMapper:
-    """Builds the region map by scanning the genotyped VCF
-    (seq_region_map.py:75-187)."""
+    """Single pass over a position-sorted genotyped VCF -> per-chrom runs."""
 
-    def __init__(self, base_records: List[VcfRecord], chrom_sizes: ChromSizes):
+    def __init__(self, base_records: Sequence[VcfRecord], chrom_sizes: ChromSizes):
         self.chrom_sizes = chrom_sizes
-        self.map: SeqRegionsMap = {}
-        self.pos_trackers: Dict[Chrom, _PosTracker] = {}
+        self._runs: Dict[Chrom, _ChromRuns] = {}
 
-        prev_chrom_key, prev_record = None, None
-        chrom_key = None
+        active: Optional[Chrom] = None
+        last_pos = 0
         for record in base_records:
-            chrom_key = record.chrom
-            if chrom_key not in self.map:
-                self._new_chrom(chrom_key, prev_chrom_key)
-            else:
-                assert chrom_key == prev_chrom_key, (
-                    f"Ref IDs not contiguous: {chrom_key} and {prev_chrom_key} "
+            if record.chrom != active:
+                assert record.chrom not in self._runs, (
+                    f"Ref IDs not contiguous: {record.chrom} and {active} "
                     "interspersed")
-                assert record.pos > prev_record.pos, (
-                    f"Records not in increasing pos order: {prev_record} and {record}")
+                if active is not None:
+                    self._runs[active].close(chrom_sizes[active])
+                active = record.chrom
+                self._runs[active] = _ChromRuns()
+                last_pos = 0
+            assert record.pos > last_pos, (
+                f"Records not in increasing pos order: pos {last_pos} then "
+                f"{record} on {active}")
+            last_pos = record.pos
 
-            base_pos = self.pos_trackers[chrom_key].base_ref_pos
-            if record.pos > base_pos:
-                self._add_invariant_region(chrom_key, record.pos - base_pos)
+            runs = self._runs[active]
+            if record.pos > runs.base_cursor:
+                runs.append_invariant(record.pos - runs.base_cursor)
+            allele = _picked_allele(record)
+            if allele == 0:
+                runs.append_invariant(len(record.ref))
+            else:
+                runs.append_variant(record.ref, record.alts[allele - 1])
 
-            self._add_variant_region(chrom_key, record)
-            prev_chrom_key = chrom_key
-            prev_record = record
-
-        if len(self.map) == 0:
+        if active is None:
             raise ValueError("No records in provided vcf.")
-
-        chrom_size = self.chrom_sizes[chrom_key]
-        base_pos = self.pos_trackers[chrom_key].base_ref_pos
-        if base_pos <= chrom_size:
-            self._add_invariant_region(chrom_key, chrom_size - base_pos + 1)
-
-        self._map_invariant_chroms()
+        self._runs[active].close(chrom_sizes[active])
 
     def get_map(self) -> SeqRegionsMap:
-        return self.map
-
-    def _map_invariant_chroms(self):
-        for chrom in self.chrom_sizes:
-            if chrom not in self.map:
-                self.map[chrom] = [SeqRegion(1, 1, self.chrom_sizes[chrom])]
-
-    def _new_chrom(self, chrom_key, prev_chrom_key):
-        if len(self.map) > 0:
-            prev_base_pos = self.pos_trackers[prev_chrom_key].base_ref_pos
-            prev_size = self.chrom_sizes[prev_chrom_key]
-            if prev_base_pos <= prev_size:
-                self._add_invariant_region(
-                    prev_chrom_key, prev_size - prev_base_pos + 1)
-        self.map[chrom_key] = []
-        self.pos_trackers[chrom_key] = _PosTracker(1, 1)
-
-    def _add_invariant_region(self, chrom_key, region_length: int):
-        ref_positions = self.pos_trackers[chrom_key]
-        focal = self.map[chrom_key]
-        if focal and not focal[-1].is_variant_region:
-            focal[-1].length += region_length
-        else:
-            focal.append(SeqRegion(
-                base_ref_start=ref_positions.base_ref_pos,
-                pers_ref_start=ref_positions.pers_ref_pos,
-                length=region_length))
-        ref_positions.base_ref_pos += region_length
-        ref_positions.pers_ref_pos += region_length
-
-    def _add_variant_region(self, chrom_key, record: VcfRecord):
-        ref_positions = self.pos_trackers[chrom_key]
-        picked_alleles = record.genotypes()
-        if not picked_alleles or set(picked_alleles) == {None}:
-            picked_allele = 0
-        else:
-            picked_allele = picked_alleles[0]
-
-        if picked_allele != 0:
-            alt = record.alts[picked_allele - 1]
-            region = SeqRegion(
-                base_ref_start=ref_positions.base_ref_pos,
-                pers_ref_start=ref_positions.pers_ref_pos,
-                length=len(alt),
-                vcf_record_ref=record.ref,
-                vcf_record_alt=alt)
-            self.map[chrom_key].append(region)
-            ref_positions.base_ref_pos += len(record.ref)
-            ref_positions.pers_ref_pos += region.length
-        else:
-            self._add_invariant_region(chrom_key, len(record.ref))
+        mapped = {chrom: runs.to_regions() for chrom, runs in self._runs.items()}
+        for chrom, size in self.chrom_sizes.items():
+            if chrom not in mapped:
+                mapped[chrom] = [SeqRegion(1, 1, size)]
+        return mapped
 
 
 class BisectTarget(Enum):
@@ -163,36 +182,49 @@ class BisectTarget(Enum):
     PERS_REF = auto()
 
 
+class _ChromIndex:
+    """Frozen columnar index for one chromosome's runs."""
+
+    __slots__ = ("base_starts", "pers_starts", "regions")
+
+    def __init__(self, regions: SeqRegions):
+        self.regions = regions
+        self.base_starts = np.fromiter(
+            (r.base_ref_start for r in regions), dtype=np.int64, count=len(regions))
+        self.pers_starts = np.fromiter(
+            (r.pers_ref_start for r in regions), dtype=np.int64, count=len(regions))
+
+    def column(self, mode: BisectTarget) -> np.ndarray:
+        return self.base_starts if mode is BisectTarget.BASE_REF else self.pers_starts
+
+
 class SearchableSeqRegionsMap:
-    """seq_region_map.py:199-261."""
+    """Region lookup by coordinate, both single-query and batched."""
 
     def __init__(self, map: SeqRegionsMap):
         self._map = map
+        self._index = {chrom: _ChromIndex(regions)
+                       for chrom, regions in map.items()}
 
     def bisect(self, chrom: Chrom, pos: int, mode: BisectTarget) -> int:
-        regions = self._map[chrom]
-        if mode is BisectTarget.BASE_REF:
-            key = lambda region: region.base_ref_start
-        else:
-            key = lambda region: region.pers_ref_start
-        lo, hi = 0, len(regions)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if key(regions[mid]) > pos:
-                hi = mid
-            else:
-                lo = mid + 1
-        return lo - 1
+        """Index of the run whose ``mode``-coordinate span contains ``pos``."""
+        column = self._index[chrom].column(mode)
+        return int(np.searchsorted(column, pos, side="right")) - 1
 
-    def get_region(self, chrom, region_index) -> SeqRegion:
-        return self._map[chrom][region_index]
+    def bisect_many(self, chrom: Chrom, positions, mode: BisectTarget) -> np.ndarray:
+        """Vectorised bisect for a whole array of positions at once."""
+        column = self._index[chrom].column(mode)
+        return np.searchsorted(column, np.asarray(positions), side="right") - 1
+
+    def get_region(self, chrom: Chrom, region_index: int) -> SeqRegion:
+        return self._index[chrom].regions[region_index]
 
     def __eq__(self, other):
-        return self._map == other._map
+        return isinstance(other, SearchableSeqRegionsMap) and self._map == other._map
 
-    def dump_to(self, fname, dump_sequences=True):
+    def dump_to(self, fname, dump_sequences: bool = True) -> None:
         serialisable = {
-            chrom: [r.to_json(dump_sequences) for r in regions]
+            chrom: [region.to_json(dump_sequences) for region in regions]
             for chrom, regions in self._map.items()
         }
         with open(fname, "w") as fout:
