@@ -74,10 +74,13 @@ def _setup_genotype(common, subparsers):
     parser.add_argument("--max_threads", type=int, default=1)
     parser.add_argument("--seed", type=int, default=None,
                         help="Fixes seed for mapped read selection")
-    parser.add_argument("--engine", choices=["host", "device"], default="host",
+    parser.add_argument("--engine", choices=["host", "device", "auto"],
+                        default="auto",
                         help="Mapping engine: 'host' (scalar, reference "
-                        "semantics) or 'device' (batched JAX search on "
-                        "TPU/accelerator, host fallback for edge cases)")
+                        "semantics), 'device' (batched JAX search on "
+                        "TPU/accelerator, host fallback for edge cases), or "
+                        "'auto' (device when an accelerator backend is "
+                        "present, host otherwise)")
 
 
 def _setup_discover(common, subparsers):

@@ -79,7 +79,13 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
         idx, kmer_index = load_all(geno_paths.gram_dir)
 
     engine = None
-    if getattr(args, "engine", "host") == "device":
+    engine_choice = getattr(args, "engine", "auto")
+    if engine_choice == "auto":
+        import jax
+        engine_choice = "device" if jax.default_backend() != "cpu" else "host"
+        log.info("Engine auto-selected: %s (jax backend: %s)", engine_choice,
+                 jax.default_backend())
+    if engine_choice == "device":
         import os
         if os.environ.get("GRAMTOOLS_TPU_ENGINE", "log") == "flat":
             from ..mapping.search_jax_flat import FlatBatchedEngine
