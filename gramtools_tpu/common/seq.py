@@ -63,12 +63,27 @@ def _open_maybe_gz(path: str | Path, mode: str = "rt"):
 
 
 def iter_fastx(path: str | Path) -> Iterator[Tuple[str, str, str]]:
-    """Yield (name, sequence, quality) records from FASTA or FASTQ (.gz ok).
+    """Yield (name, sequence, quality) records from FASTA, FASTQ, SAM or
+    BAM (.gz ok); CRAM is detected and rejected with a clear error.
 
     Quality is '' for FASTA. Replaces the vendored kseq-style reader
     (libgramtools include/sequence_read/seq_file.h) for the host path; a
-    native C++ reader is used for bulk loading when built.
+    native C++ reader is used for bulk fasta/fastq loading when built.
     """
+    from .sam import detect_format, iter_bam, iter_sam
+
+    fmt = detect_format(path)
+    if fmt == "sam":
+        yield from iter_sam(path)
+        return
+    if fmt == "bam":
+        yield from iter_bam(path)
+        return
+    if fmt == "cram":
+        raise ValueError(
+            f"{path}: CRAM input needs htslib's codec suite, which is not "
+            "available in this build; convert to BAM/fastq first "
+            "(e.g. `samtools view -b`)")
     with _open_maybe_gz(path, "rt") as fh:
         first = fh.read(1)
         if not first:

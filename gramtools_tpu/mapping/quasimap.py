@@ -82,9 +82,14 @@ def quasimap_forward_reverse(read, coverage, kmer_index, idx, kmer_size,
 def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
     """Buffers of int-encoded reads; non-ACGT reads become empty
     (utils.cpp:73-80). Uses the native C++ parser when built."""
+    from ..common.sam import detect_format
     from ..index.native import native_read_batches
 
-    native = native_read_batches(reads_fpath, batch_size=READS_BUFFER_SIZE)
+    # the native parser only speaks fasta/fastq(.gz); SAM/BAM go through
+    # the python decoders in common/sam.py
+    native = None
+    if detect_format(reads_fpath) in ("fasta", "fastq"):
+        native = native_read_batches(reads_fpath, batch_size=READS_BUFFER_SIZE)
     if native is not None:
         for batch in native:
             yield [r if not np.any(r == 0) else np.empty(0, dtype=np.uint8)
