@@ -458,6 +458,19 @@ class LogBatchedEngine:
         self.hits_boost = 1
         self.max_hits_boost = int(os.environ.get(
             "GRAMTOOLS_TPU_MAX_HITS_BOOST", "8"))
+        # opt-in per-phase wall timers (GRAMTOOLS_TPU_TIMERS=1): seconds
+        # accumulated per pipeline stage, for bench.py's breakdown
+        import collections
+        self.timers = collections.defaultdict(float)
+        self._timing = os.environ.get("GRAMTOOLS_TPU_TIMERS") == "1"
+
+    def _tick(self, key, t0):
+        import time
+        if self._timing:
+            t1 = time.perf_counter()
+            self.timers[key] += t1 - t0
+            return t1
+        return t0
 
     def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
         """Kmer filter + seed + device scan. Returns (results_skeleton,
@@ -470,9 +483,12 @@ class LogBatchedEngine:
         pending token for scan_complete without blocking, so the device
         scans this buffer while the host finishes the previous one
         (the driver pipelines buffers through submit/complete)."""
+        import time
+
         from ..common.seq import revcomp
         from .quasimap import all_read_kmers_in_index
 
+        t0 = time.perf_counter()
         k = kmer_size
         self._last_kmer_index = kmer_index
         results = [[] for _ in buffer]
@@ -523,6 +539,7 @@ class LogBatchedEngine:
                 else:
                     stats.missing_kmer_reads_count += 1
 
+        t0 = self._tick("submit_filter", t0)
         if not rows:
             return (results, [], None, None, set(), None, None)
 
@@ -602,6 +619,7 @@ class LogBatchedEngine:
                     s_ing[si, pi] = locus
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
+        t0 = self._tick("submit_seed", t0)
         if steps > 0 and cursor > 0:
             cfg_eff = LogConfig(pool=self.cfg.pool,
                                 hits=self.cfg.hits * self.hits_boost)
@@ -612,25 +630,33 @@ class LogBatchedEngine:
             if carry[0].shape[0] > pool0:
                 carry = (carry[0][:pool0], carry[1][:pool0],
                          carry[2][:pool0], carry[3][:pool0], carry[4])
-            device_out = (_log_search_packed(
-                self.di, jnp.asarray(reads_T), jax.device_put(carry),
-                phases, R), phases, R)
+            reads_dev = jnp.asarray(reads_T)
+            carry_dev = jax.device_put(carry)
+            t0 = self._tick("submit_put", t0)
+            device_out = (_log_search_packed(self.di, reads_dev, carry_dev,
+                                             phases, R), phases, R)
         else:
             device_out = None
+        self._tick("submit_dispatch", t0)
         return (results, rows, device_out, seeds, host_rows, carry, reads_T)
 
     def scan_complete(self, token):
         """Blocks on a scan_submit token; returns (results_skeleton,
         rows, carry_np, log_parent, log_event, seed arrays, host_rows)."""
+        import time
+
         results, rows, device_out, seeds, host_rows, carry, reads_T = token
         if device_out is not None:
             flat, phases, R = device_out
+            t0 = time.perf_counter()
             # result tree packed on device -> ONE host<->device round
             # trip (each leaf fetched separately pays a full relay trip)
             carry_np, log_parent, log_event = _unpack_result(
                 jax.device_get(flat), phases, R, self.di.n_outcomes)
+            t0 = self._tick("complete_get", t0)
             carry_np, log_parent, log_event = self._retry_overflow(
                 carry_np, log_parent, log_event, carry, reads_T, len(rows))
+            self._tick("complete_retry", t0)
         else:
             carry_np = carry
             log_parent = log_event = np.empty(0, dtype=np.int32)

@@ -147,6 +147,11 @@ def main():
           file=sys.stderr)
     print(f"# retried={engine.device_retried} fallbacks={engine.host_fallbacks} "
           f"hits_boost={engine.hits_boost}", file=sys.stderr)
+    if engine.timers:
+        print("# engine timers/buffer: "
+              + " ".join(f"{k}={v/n*1e3:.0f}ms"
+                         for k, v in sorted(engine.timers.items())),
+              file=sys.stderr)
     print(json.dumps({"e2e_reads_per_sec": round(rps, 1),
                       "submit_ms": round(submit_t / n * 1e3, 1),
                       **{k: round(v / n * 1e3, 1)
