@@ -44,6 +44,8 @@ def detect_format(path) -> str:
     path = str(path)
     with open(path, "rb") as fh:
         magic = fh.read(4)
+    if not magic:
+        return "fastq"  # empty file: the fastx reader yields nothing
     if magic[:4] == b"CRAM":
         return "cram"
     if magic[:2] == b"\x1f\x8b":

@@ -90,6 +90,45 @@ def _expand(widths: np.ndarray):
     return item_of, off
 
 
+def fold_loci_rows(coverage: Coverage, loci_rows: np.ndarray):
+    """Fold sorted-unique (row, site, allele) selected-loci triples into
+    the coverage's pending allele-sum / grouped-count batches (resolved
+    once per run by Coverage.finalise). Shared by the numpy recorder
+    below and the device recorder (record_jax.py), which ships the same
+    triples home."""
+    if loci_rows.shape[0] == 0:
+        return
+    # allele-sum: one increment per (row, site, allele)
+    pk = loci_rows[:, 1] * np.int64(1 << 20) + loci_rows[:, 2]
+    pair, pair_n = np.unique(pk, return_counts=True)
+    coverage.pending_sum.append((pair >> 20, pair & ((1 << 20) - 1),
+                                 pair_n.astype(np.int64)))
+
+    # grouped counts: per (row, site) sorted allele tuple
+    rs = loci_rows[:, 0] * (2 ** 32) + loci_rows[:, 1]
+    boundaries = np.concatenate([[0], np.flatnonzero(np.diff(rs)) + 1])
+    sizes = np.diff(np.concatenate([boundaries, [rs.size]]))
+    big = sizes > 3
+    if big.any():
+        # rare: >3 alleles of one site in one read's loci -- fold in python
+        for b, sz in zip(boundaries[big], sizes[big]):
+            site = int(loci_rows[b, 1])
+            key = tuple(int(a) for a in np.sort(loci_rows[b:b + sz, 2]))
+            d = coverage.grouped_counts[site_id_to_index(site)]
+            d[key] = d.get(key, 0) + 1
+    small = ~big
+    sb = boundaries[small]
+    ssz = sizes[small]
+    packed = loci_rows[sb, 2] + 1
+    for extra in (1, 2):
+        has = ssz > extra
+        packed = packed + np.where(
+            has, (loci_rows[np.minimum(sb + extra, rs.size - 1), 2] + 1)
+            << np.int64(20 * extra), 0)
+    coverage.pending_group.append((loci_rows[sb, 1], ssz, packed,
+                                   np.ones(sb.size, dtype=np.int64)))
+
+
 def select_and_record(
     idx: PrgIndex,
     coverage: Coverage,
@@ -313,38 +352,7 @@ def select_and_record(
     # collapse state -> row; dedupe (row, site, allele) per row
     loci_rows = np.stack([ps_row[loci[:, 0]], loci[:, 1], loci[:, 2]], axis=1)
     loci_rows = np.unique(loci_rows, axis=0)
-
-    # allele-sum: one increment per (row, site, allele); counts fold into
-    # the python lists once per run (Coverage.finalise)
-    pk = loci_rows[:, 1] * np.int64(1 << 20) + loci_rows[:, 2]
-    pair, pair_n = np.unique(pk, return_counts=True)
-    coverage.pending_sum.append((pair >> 20, pair & ((1 << 20) - 1),
-                                 pair_n.astype(np.int64)))
-
-    # grouped counts: per (row, site) sorted allele tuple
-    rs = loci_rows[:, 0] * (2 ** 32) + loci_rows[:, 1]
-    boundaries = np.concatenate([[0], np.flatnonzero(np.diff(rs)) + 1])
-    sizes = np.diff(np.concatenate([boundaries, [rs.size]]))
-    big = sizes > 3
-    if big.any():
-        # rare: defer those rows to the scalar path entirely would
-        # double-record others; instead handle big groups in python
-        for b, sz in zip(boundaries[big], sizes[big]):
-            site = int(loci_rows[b, 1])
-            key = tuple(int(a) for a in np.sort(loci_rows[b:b + sz, 2]))
-            d = coverage.grouped_counts[site_id_to_index(site)]
-            d[key] = d.get(key, 0) + 1
-    small = ~big
-    sb = boundaries[small]
-    ssz = sizes[small]
-    packed = loci_rows[sb, 2] + 1
-    for extra in (1, 2):
-        has = ssz > extra
-        packed = packed + np.where(
-            has, (loci_rows[np.minimum(sb + extra, rs.size - 1), 2] + 1)
-            << np.int64(20 * extra), 0)
-    coverage.pending_group.append((loci_rows[sb, 1], ssz, packed,
-                                   np.ones(sb.size, dtype=np.int64)))
+    fold_loci_rows(coverage, loci_rows)
 
     # per-base coverage
     from .coverage_vec import record_per_base_arrays

@@ -149,7 +149,7 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                                                         dtype=np.uint32))
                 if pipelined:
                     token = engine.scan_submit(buffer, kmer_index, kmer_size,
-                                               stats)
+                                               stats, first_raws=first_raws)
                     if in_flight is not None:
                         engine.record_complete(*in_flight, stats, coverage)
                     in_flight = (token, selection_seeds, first_raws)
@@ -173,6 +173,9 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
         if in_flight is not None:
             engine.record_complete(*in_flight, stats, coverage)
             in_flight = None
+        if engine is not None and hasattr(engine, "flush_device_coverage"):
+            # per-base coverage accumulated on device -> one transfer/run
+            engine.flush_device_coverage()
     finally:
         if pool is not None:
             pool.terminate()

@@ -1,0 +1,616 @@
+"""Device-side selection + coverage recording (TPU-first).
+
+Round-1's engine ran the vBWT scan on device but shipped the genealogy
+log home every buffer and did path replay, mapping-instance selection
+and coverage recording in numpy (coverage_fast.py). Profiling on the
+TPU relay shows steady-state e2e dominated by exactly that host-side
+tail: packed-result transfer + replay + select/record.
+
+This module moves the whole post-scan pipeline onto the device, fused
+into the same jit as the scan:
+
+  1. genealogy replay: chase parent pointers for every live pool state
+     (bounded-depth gather loop) and apply the jump-table ops root->leaf
+     with masked scatters -- the device twin of
+     search_jax_log.replay_paths_vectorised;
+  2. encapsulated split of no-path states (budgeted occurrence
+     expansion + run-merge) and non-variant occurrence counting
+     (encapsulated_search.cpp:30-107 semantics);
+  3. LocusFinder: traversed + traversing-derived loci + ancestor chains
+     (gathers over precomputed per-site ancestor tables), sorted
+     dedup, site-uniqueness / allele-conflict checks -> fallback flags
+     (coverage_common.cpp:10-83);
+  4. class grouping by base-site key rows (lexicographic multi-key
+     lax.sort, std::map order parity) and the vectorised mt19937
+     first-draw uniform pick (coverage_common.cpp:85-177);
+  5. recording: per-base coverage as +1/-1 boundary scatters into a
+     persistent device DIFF array (prefix-summed once at end of run:
+     for all-ones range increments, min(prefix_sum, 65535) equals the
+     reference's saturating per-increment adds, allele_base.cpp:240-242)
+     and selected loci emitted as compact (row, site, allele) triples
+     (host folds allele-sum + grouped counts through the existing
+     pending machinery -- cheap and bit-identical).
+
+All sorts are multi-key ``lax.sort`` over int32 operands (JAX runs
+32-bit by default; packed 64-bit keys would truncate silently), and the
+mt19937 pick arithmetic stays within uint32 (total * floor(2^32-1 /
+total) <= 2^32-1). Everything is fixed-shape; states/rows that exceed a
+static budget or hit a hard edge case (duplicate site in one path, RNG
+rejection branch, chain deeper than the cap) set a per-row fallback
+flag and are re-done exactly by the host scalar path -- never silently
+dropped. Fallback rows contribute NOTHING here (triples masked,
+envelopes dropped), so device + host contributions are disjoint by
+construction.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..prg.markers import ALLELE_UNKNOWN
+from .jump_table import OP_ENTER, OP_EXIT
+from .search import PrgIndex
+from .search_jax import DeviceIndex
+
+# static budgets (overflow -> per-row host fallback)
+MAX_CHAIN = 32       # genealogy chain depth (events per state)
+TCAP = 16            # traversed/traversing loci per state
+ECAP = 4096          # encapsulated-split occurrence expansion slots
+TRCAP = 4096         # traversing-state occurrence expansion slots
+KCAP = 8             # base (level-1) sites per state
+WCAP = 8192          # per-base walk lanes (selected-state occurrences)
+EMITCAP = 32768      # per-base walk emissions per buffer
+
+_URNG_RANGE = (1 << 32) - 1
+_PAD = -1            # key padding: sorts before any site marker (>= 5)
+_BIG = jnp.int32(2 ** 30)
+
+
+@dataclass
+class RecordTables:
+    """Graph/selection tables staged on device for the record pipeline."""
+
+    ra_node: jnp.ndarray        # (len_prg,) int32: PRG position -> node
+    ra_offset: jnp.ndarray      # (len_prg,) int32: offset within node seq
+    nt_site: jnp.ndarray        # (n_nodes,) int32 site marker or 0
+    nt_allele: jnp.ndarray      # (n_nodes,) int32 (ALLELE_UNKNOWN = -1)
+    nt_seq_len: jnp.ndarray     # (n_nodes,) int32
+    nt_in_bubble: jnp.ndarray   # (n_nodes,) bool
+    nt_n_edges: jnp.ndarray     # (n_nodes,) int32
+    nt_edge_off: jnp.ndarray    # (n_nodes+1,) int32 CSR offsets
+    nt_edges: jnp.ndarray       # (n_edges,) int32
+    nt_cov_start: jnp.ndarray   # (n_nodes,) int32 (-1 = no coverage)
+    anc_len: jnp.ndarray        # (n_sites,) int32 ancestor-chain lengths
+    anc_site: jnp.ndarray       # (n_sites, A) int32
+    anc_allele: jnp.ndarray     # (n_sites, A) int32
+    base_site: jnp.ndarray      # (n_sites,) int32 level-1 ancestor marker
+    cov_size: int               # flat per-base coverage length
+    n_nodes: int
+    max_anc: int
+
+    @classmethod
+    def build(cls, idx: PrgIndex) -> "RecordTables":
+        from .coverage_fast import SiteMeta
+
+        g = idx.graph
+        nt = g.node_tables()
+        sm = SiteMeta(idx)
+        return cls(
+            ra_node=jnp.asarray(g.ra_node.astype(np.int32)),
+            ra_offset=jnp.asarray(g.ra_offset.astype(np.int32)),
+            nt_site=jnp.asarray(nt.site_id.astype(np.int32)),
+            nt_allele=jnp.asarray(nt.allele_id.astype(np.int32)),
+            nt_seq_len=jnp.asarray(nt.seq_len.astype(np.int32)),
+            nt_in_bubble=jnp.asarray(nt.in_bubble),
+            nt_n_edges=jnp.asarray(nt.n_edges.astype(np.int32)),
+            nt_edge_off=jnp.asarray(nt.edge_offset.astype(np.int32)),
+            nt_edges=jnp.asarray(nt.edges.astype(np.int32)),
+            nt_cov_start=jnp.asarray(nt.cov_start.astype(np.int32)),
+            anc_len=jnp.asarray(sm.anc_len.astype(np.int32)),
+            anc_site=jnp.asarray(sm.anc_site.astype(np.int32)),
+            anc_allele=jnp.asarray(sm.anc_allele.astype(np.int32)),
+            base_site=jnp.asarray(sm.base_site.astype(np.int32)),
+            cov_size=int(g.coverage.size),
+            n_nodes=int(nt.seq_len.size),
+            max_anc=int(sm.max_depth),
+        )
+
+
+jax.tree_util.register_dataclass(
+    RecordTables,
+    data_fields=["ra_node", "ra_offset", "nt_site", "nt_allele", "nt_seq_len",
+                 "nt_in_bubble", "nt_n_edges", "nt_edge_off", "nt_edges",
+                 "nt_cov_start", "anc_len", "anc_site", "anc_allele",
+                 "base_site"],
+    meta_fields=["cov_size", "n_nodes", "max_anc"],
+)
+
+
+# --------------------------------------------------------------------------
+# stage 1: genealogy replay on device
+# --------------------------------------------------------------------------
+
+
+def replay_device(di: DeviceIndex, f_pref, log_parent, log_event,
+                  s_trav, s_nt, s_ing, s_ni, alive):
+    """Rebuild (trav, n_trav, ing, n_ing) for every pool state.
+
+    f_pref: (N,) genealogy refs (negative = seed index -p-1); s_*: seed
+    path arrays (Ns, P0, 2)/(Ns,); alive: (N,) bool. Returns trav
+    (N, TCAP, 2), n_trav, ing (N, TCAP, 2), n_ing, bad (N,) bool (chain
+    depth / path capacity overflow)."""
+    N = f_pref.shape[0]
+    Lg = max(log_event.shape[0], 1)
+    le = log_event if log_event.shape[0] else jnp.zeros(1, jnp.int32)
+    lp = log_parent if log_parent.shape[0] else jnp.zeros(1, jnp.int32)
+
+    def chase(d, carry):
+        p, events = carry
+        live = p >= 0
+        pc = jnp.clip(p, 0, Lg - 1)
+        ev = jnp.where(live, le[pc], -1)
+        events = jax.lax.dynamic_update_index_in_dim(events, ev, d, axis=0)
+        p = jnp.where(live, lp[pc], p)
+        return p, events
+
+    p0 = jnp.where(alive, f_pref, jnp.full_like(f_pref, -1))
+    p, events = jax.lax.fori_loop(
+        0, MAX_CHAIN, chase,
+        (p0, jnp.full((MAX_CHAIN, N), -1, jnp.int32)))
+    bad = alive & (p >= 0)  # chain longer than MAX_CHAIN
+    seed_idx = jnp.clip(-p - 1, 0, max(s_nt.shape[0] - 1, 0))
+
+    P0 = s_trav.shape[1] if s_trav.ndim == 3 else 0
+    trav = jnp.zeros((N, TCAP, 2), jnp.int32)
+    ing = jnp.zeros((N, TCAP, 2), jnp.int32)
+    if P0:
+        p0c = min(P0, TCAP)
+        trav = trav.at[:, :p0c].set(s_trav[seed_idx, :p0c].astype(jnp.int32))
+        ing = ing.at[:, :p0c].set(s_ing[seed_idx, :p0c].astype(jnp.int32))
+    n_trav = s_nt[seed_idx].astype(jnp.int32)
+    n_ing = s_ni[seed_idx].astype(jnp.int32)
+    bad |= alive & ((n_trav > TCAP) | (n_ing > TCAP))
+
+    kind2 = di.ops_kind.reshape(-1, di.n_ops)
+    site2 = di.ops_site.reshape(-1, di.n_ops)
+    allele2 = di.ops_allele.reshape(-1, di.n_ops)
+    ar = jnp.arange(N)
+
+    # apply root->leaf: d = MAX_CHAIN-1 .. 0 (events past chain end = -1)
+    def apply_level(i, carry):
+        trav, n_trav, ing, n_ing, bad = carry
+        d = MAX_CHAIN - 1 - i
+        ev = jax.lax.dynamic_index_in_dim(events, d, axis=0, keepdims=False)
+        valid = ev >= 0
+        evc = jnp.clip(ev, 0, kind2.shape[0] - 1)
+        for o in range(di.n_ops):
+            kind = jnp.where(valid, kind2[evc, o], 0)
+            site = site2[evc, o]
+            allele = allele2[evc, o]
+            is_exit = kind == OP_EXIT
+            is_enter = kind == OP_ENTER
+            # exit: pop traversing (if any), append (site, allele)
+            n_ing = jnp.where(is_exit & (n_ing > 0), n_ing - 1, n_ing)
+            wpos = jnp.where(is_exit, jnp.minimum(n_trav, TCAP), TCAP)
+            trav = trav.at[ar, wpos, 0].set(site, mode="drop")
+            trav = trav.at[ar, wpos, 1].set(allele, mode="drop")
+            bad = bad | (is_exit & (n_trav >= TCAP))
+            n_trav = jnp.where(is_exit, jnp.minimum(n_trav + 1, TCAP), n_trav)
+            # enter: push (site, ALLELE_UNKNOWN)
+            wpos = jnp.where(is_enter, jnp.minimum(n_ing, TCAP), TCAP)
+            ing = ing.at[ar, wpos, 0].set(site, mode="drop")
+            ing = ing.at[ar, wpos, 1].set(
+                jnp.full_like(site, ALLELE_UNKNOWN), mode="drop")
+            bad = bad | (is_enter & (n_ing >= TCAP))
+            n_ing = jnp.where(is_enter, jnp.minimum(n_ing + 1, TCAP), n_ing)
+        return trav, n_trav, ing, n_ing, bad
+
+    trav, n_trav, ing, n_ing, bad = jax.lax.fori_loop(
+        0, MAX_CHAIN, apply_level, (trav, n_trav, ing, n_ing, bad))
+    return trav, n_trav, ing, n_ing, bad
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _expand_budget(widths, cap: int):
+    """Device twin of coverage_fast._expand with a static output budget.
+
+    widths: (M,) int32 >= 0. Returns (item_of (cap,), offset (cap,),
+    valid (cap,), spilled (M,) -- item had occurrences past the cap)."""
+    cum = jnp.cumsum(widths)
+    total = cum[-1]
+    g = jnp.arange(cap, dtype=widths.dtype)
+    item_of = jnp.searchsorted(cum, g, side="right")
+    item_of = jnp.clip(item_of, 0, max(widths.shape[0] - 1, 0))
+    valid = g < jnp.minimum(total, cap)
+    before = cum[item_of] - widths[item_of]
+    offset = g - before
+    spilled = (widths > 0) & (cum > cap)
+    return item_of.astype(jnp.int32), offset.astype(jnp.int32), valid, spilled
+
+
+def _segment_first(group_start_flags):
+    """Index of each element's group start (prefix-max of flagged idx)."""
+    n = group_start_flags.shape[0]
+    idx = jnp.where(group_start_flags, jnp.arange(n, dtype=jnp.int32), 0)
+    return jax.lax.associative_scan(jnp.maximum, idx)
+
+
+def _flag_rows(R, cond, rows):
+    """(R,) bool with True at rows[i] where cond[i] (out-of-range drops)."""
+    return jnp.zeros(R, bool).at[jnp.where(cond, rows, R)].set(
+        True, mode="drop")
+
+
+def _neighbor_diff(*cols):
+    """Element i differs from i-1 in any column (True at i=0)."""
+    out = None
+    for c in cols:
+        d = jnp.concatenate([jnp.ones(1, bool), c[1:] != c[:-1]])
+        out = d if out is None else (out | d)
+    return out
+
+
+# --------------------------------------------------------------------------
+# stages 2-5
+# --------------------------------------------------------------------------
+
+
+def select_and_record_device(
+        di: DeviceIndex, rt: RecordTables,
+        # final pool states (N,):
+        f_rid, f_lo, f_hi, trav, n_trav, ing, n_ing, state_bad,
+        # per row (R,):
+        row_ok, row_first_raw, row_len,
+        # persistent coverage diff array (cov_size+1,) int32:
+        cov_diff, trip_cap: int = 0):
+    """Selection + recording for one scanned buffer.
+
+    Returns (fallback (R,), mapped (R,), trip_row, trip_site,
+    trip_allele, cov_diff) -- trip arrays are (trip_cap,) sorted by
+    (row, site, allele) with row > R marking unused slots; duplicates
+    (multiple chosen-class states sharing a locus) are left in for the
+    host's neighbour-dedup. Semantics twin of
+    coverage_fast.select_and_record."""
+    if trip_cap <= 0:
+        trip_cap = 16 * row_ok.shape[0]
+    N = f_rid.shape[0]
+    R = row_ok.shape[0]
+    ar_n = jnp.arange(N)
+    rid_c = jnp.clip(f_rid, 0, R - 1)
+    alive = (f_rid >= 0) & row_ok[rid_c]
+    fallback = _flag_rows(R, state_bad & alive, rid_c)
+
+    has_path = (n_trav > 0) | (n_ing > 0)
+
+    # ---- encapsulated split of no-path states ------------------------------
+    np_mask = alive & ~has_path
+    widths = jnp.where(np_mask, f_hi - f_lo + 1, 0).astype(jnp.int32)
+    e_item, e_off, e_valid, e_spill = _expand_budget(widths, ECAP)
+    fallback |= _flag_rows(R, e_spill, rid_c)
+    occ_sa = jnp.clip(f_lo[e_item] + e_off, 0, di.size - 1)
+    occ_node = rt.ra_node[jnp.clip(di.sa[occ_sa], 0,
+                                   rt.ra_node.shape[0] - 1)]
+    occ_site = jnp.where(e_valid, rt.nt_site[occ_node], 0)
+    occ_allele = rt.nt_allele[occ_node]
+    occ_row = rid_c[e_item]
+
+    nonvar = jnp.zeros(R + 1, jnp.int32).at[
+        jnp.where(e_valid & (occ_site == 0), occ_row, R)].add(
+        1, mode="drop")[:R]
+
+    # run-merge consecutive same-(item, site, allele) occurrences: each
+    # run becomes one encapsulated pseudo-state at its start lane
+    enc = e_valid & (occ_site > 0)
+    prev_same = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (e_item[1:] == e_item[:-1]) & (occ_site[1:] == occ_site[:-1])
+        & (occ_allele[1:] == occ_allele[:-1]) & enc[:-1] & enc[1:]])
+    enc_start = enc & ~prev_same
+    nxt_same = jnp.concatenate([prev_same[1:], jnp.zeros(1, bool)])
+    run_first = _segment_first(enc_start | ~enc)
+    enc_hi = jnp.zeros(ECAP + 1, jnp.int32).at[
+        jnp.where(enc & ~nxt_same, run_first, ECAP)].set(
+        occ_sa.astype(jnp.int32), mode="drop")[:ECAP]
+
+    # ---- unified state table: N pool states then ECAP enc lanes ------------
+    NS = N + ECAP
+    ps_row = jnp.concatenate([rid_c, occ_row])
+    ps_live = jnp.concatenate([alive & has_path, enc_start])
+    ps_lo = jnp.concatenate([f_lo.astype(jnp.int32),
+                             occ_sa.astype(jnp.int32)])
+    ps_hi = jnp.concatenate([f_hi.astype(jnp.int32), enc_hi])
+    ps_ntrav = jnp.concatenate([
+        jnp.where(alive & has_path, n_trav, 0),
+        jnp.where(enc_start, 1, 0).astype(n_trav.dtype)])
+    ps_ning = jnp.concatenate([jnp.where(alive & has_path, n_ing, 0),
+                               jnp.zeros(ECAP, n_ing.dtype)])
+    enc_trav = jnp.zeros((ECAP, TCAP, 2), jnp.int32)
+    enc_trav = enc_trav.at[:, 0, 0].set(jnp.where(enc_start, occ_site, 0))
+    enc_trav = enc_trav.at[:, 0, 1].set(jnp.where(enc_start, occ_allele, 0))
+    ps_trav = jnp.concatenate([trav, enc_trav], axis=0)
+    last_i = jnp.clip(n_ing - 1, 0, TCAP - 1)
+    ing_parent = jnp.concatenate([
+        jnp.where(n_ing > 0, ing[ar_n, last_i, 0], 0),
+        jnp.zeros(ECAP, jnp.int32)])
+
+    # ---- site-uniqueness (duplicate site within one state's own path) ------
+    slot = jnp.arange(TCAP, dtype=jnp.int32)[None, :]
+    own_t = jnp.where(slot < ps_ntrav[:, None], ps_trav[:, :, 0],
+                      jnp.int32(2 ** 28) + slot)
+    ing_pad = jnp.concatenate([ing, jnp.zeros((ECAP, TCAP, 2), jnp.int32)],
+                              axis=0)
+    own_i = jnp.where(slot < ps_ning[:, None], ing_pad[:, :, 0],
+                      jnp.int32(2 ** 28) + TCAP + slot)
+    own = jnp.sort(jnp.concatenate([own_t, own_i], axis=1), axis=1)
+    dup_site = jnp.any(own[:, 1:] == own[:, :-1], axis=1) & ps_live
+    fallback |= _flag_rows(R, dup_site, ps_row)
+
+    # ---- loci: traversed + traversing-derived + ancestors -------------------
+    t_valid = (slot < ps_ntrav[:, None]) & ps_live[:, None]
+    l1_state = jnp.repeat(jnp.arange(NS, dtype=jnp.int32), TCAP)
+    l1_site = ps_trav[:, :, 0].reshape(-1)
+    l1_allele = ps_trav[:, :, 1].reshape(-1)
+    l1_valid = t_valid.reshape(-1)
+
+    tr_w = jnp.where(ps_live & (ps_ning > 0), ps_hi - ps_lo + 1, 0)
+    tr_item, tr_off, tr_valid, tr_spill = _expand_budget(
+        tr_w.astype(jnp.int32), TRCAP)
+    fallback |= _flag_rows(R, tr_spill, ps_row)
+    tr_sa = jnp.clip(ps_lo[tr_item] + tr_off, 0, di.size - 1)
+    tr_node = rt.ra_node[jnp.clip(di.sa[tr_sa], 0, rt.ra_node.shape[0] - 1)]
+    l2_state = tr_item
+    l2_site = jnp.where(tr_valid, ing_parent[tr_item], 0)
+    l2_allele = rt.nt_allele[tr_node]
+    l2_valid = tr_valid
+
+    base_state = jnp.concatenate([l1_state, l2_state])
+    base_site_m = jnp.concatenate([l1_site, l2_site])
+    base_allele = jnp.concatenate([l1_allele, l2_allele])
+    base_valid = jnp.concatenate([l1_valid, l2_valid]) & (base_site_m >= 5)
+
+    A = max(rt.max_anc, 0)
+    sidx = jnp.clip((base_site_m - 5) // 2, 0, rt.anc_len.shape[0] - 1)
+    parts = [(base_state, base_site_m, base_allele, base_valid)]
+    for a in range(A):
+        parts.append((base_state, rt.anc_site[sidx, a],
+                      rt.anc_allele[sidx, a],
+                      base_valid & (a < rt.anc_len[sidx])))
+    l_state = jnp.concatenate([p[0] for p in parts])
+    l_site = jnp.concatenate([p[1] for p in parts])
+    l_allele = jnp.concatenate([p[2] for p in parts])
+    l_valid = jnp.concatenate([p[3] for p in parts])
+
+    # ---- dedup loci per (state, site, allele); conflicts -> fallback --------
+    l_key = jnp.where(l_valid, l_state, NS + 1)  # invalid sorts last
+    trip_state, trip_site, trip_allele = jax.lax.sort(
+        (l_key, l_site, l_allele), num_keys=3)
+    k_valid = trip_state <= NS  # NS+1 = invalid
+    uniq = _neighbor_diff(trip_state, trip_site, trip_allele)
+    trip_keep = uniq & k_valid
+    trip_state = jnp.clip(trip_state, 0, NS - 1)
+    same_ss = trip_keep & ~_neighbor_diff(trip_state, trip_site) \
+        & jnp.concatenate([jnp.zeros(1, bool), trip_keep[:-1]])
+    fallback |= _flag_rows(R, same_ss, ps_row[trip_state])
+    LT = trip_state.shape[0]
+
+    # ---- base-site key rows per state ---------------------------------------
+    b_base = rt.base_site[
+        jnp.clip((trip_site - 5) // 2, 0, rt.base_site.shape[0] - 1)]
+    b_key = jnp.where(trip_keep, trip_state, NS + 1)
+    kb_state, kb_site = jax.lax.sort((b_key, b_base), num_keys=2)
+    b_uniq = _neighbor_diff(kb_state, kb_site) & (kb_state <= NS)
+    st_start = _neighbor_diff(kb_state)
+    # position of each unique (state, base) within its state: count of
+    # unique entries since the state's first element
+    uniq_cum = jnp.cumsum(b_uniq.astype(jnp.int32))
+    first_idx = _segment_first(st_start)
+    uniq_before_state = jnp.where(
+        first_idx > 0, uniq_cum[jnp.maximum(first_idx - 1, 0)], 0)
+    pos_in_state = uniq_cum - 1 - uniq_before_state
+    too_many = b_uniq & (pos_in_state >= KCAP)
+    fallback |= _flag_rows(R, too_many, ps_row[jnp.clip(kb_state, 0, NS - 1)])
+    key_mat = jnp.full((NS + 1, KCAP), _PAD, jnp.int32)
+    key_mat = key_mat.at[
+        jnp.where(b_uniq & ~too_many, kb_state, NS),
+        jnp.clip(pos_in_state, 0, KCAP - 1)].set(kb_site, mode="drop")
+    key_mat = key_mat[:NS]
+
+    # ---- classes per row: lexicographic multi-key sort ----------------------
+    sort_row = jnp.where(ps_live, ps_row, R)
+    operands = tuple([sort_row] + [key_mat[:, c] for c in range(KCAP)]
+                     + [jnp.arange(NS, dtype=jnp.int32)])
+    sorted_ops = jax.lax.sort(operands, num_keys=KCAP + 1)
+    s_row = sorted_ops[0]
+    s_keys = sorted_ops[1:KCAP + 1]
+    s_state = sorted_ops[KCAP + 1]
+    live_s = s_row < R
+    new_row = _neighbor_diff(s_row)
+    new_class = (new_row | _neighbor_diff(*s_keys)) & live_s
+    class_id = jnp.cumsum(new_class.astype(jnp.int32)) - 1
+    row_first_class = class_id[_segment_first(new_row)]
+    class_ord = class_id - row_first_class
+    n_classes = jnp.zeros(R + 1, jnp.int32).at[
+        jnp.where(new_class, s_row, R)].add(1, mode="drop")[:R]
+
+    # ---- uniform pick per row (libstdc++ uniform_int first draw) ------------
+    # all quantities fit in uint32: scaling = floor((2^32-1)/total), and
+    # past = total * scaling <= 2^32-1 by construction
+    total = nonvar + n_classes
+    active_row = n_classes > 0
+    totals = jnp.maximum(total, 1).astype(jnp.uint32)
+    scaling = jnp.uint32(_URNG_RANGE) // totals
+    past = totals * scaling
+    rdraw = row_first_raw.astype(jnp.uint32)
+    fallback |= active_row & (rdraw >= past)  # rejection branch -> host
+    selected = 1 + (rdraw // jnp.maximum(scaling, jnp.uint32(1))).astype(
+        jnp.int32)
+    chosen_ord = selected - nonvar - 1
+    do_record = active_row & (chosen_ord >= 0) & (chosen_ord < n_classes)
+
+    s_row_c = jnp.clip(s_row, 0, R - 1)
+    sel_sorted = live_s & do_record[s_row_c] & (class_ord ==
+                                                chosen_ord[s_row_c])
+    st_selected = jnp.zeros(NS, bool).at[s_state].set(sel_sorted)
+
+    mapped = _flag_rows(R, alive, rid_c)  # any live state => "mapped"
+
+    # ---- preliminary triple-capacity check (BEFORE per-base recording, so
+    # spilled rows can still fall back cleanly with zero device traces) ----
+    t_row = ps_row[trip_state]
+    t_sel = trip_keep & st_selected[trip_state] & ~fallback[t_row]
+    t_key = jnp.where(t_sel, t_row, R + 1)
+    pre_row = jax.lax.sort(t_key)
+    if t_key.shape[0] > trip_cap:
+        over = pre_row[trip_cap:]
+        fallback |= _flag_rows(R, over <= R, jnp.clip(over, 0, R - 1))
+
+    # ---- per-base coverage (may add fallback rows; do it before triples) ---
+    cov_diff, fallback = _record_per_base_device(
+        di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav, st_selected,
+        row_len, fallback, cov_diff)
+
+    # ---- triples of the chosen classes, compact prefix of the sort ----------
+    # fallback only grew since the preliminary check, so the valid prefix
+    # is guaranteed to fit in trip_cap
+    t_sel = trip_keep & st_selected[trip_state] & ~fallback[t_row]
+    t_key = jnp.where(t_sel, t_row, R + 1)
+    trip_row_o, trip_site_o, trip_allele_o = jax.lax.sort(
+        (t_key, trip_site, trip_allele), num_keys=3)
+    pad = max(trip_cap - trip_row_o.shape[0], 0)
+    if pad:
+        trip_row_o = jnp.concatenate(
+            [trip_row_o, jnp.full(pad, R + 1, jnp.int32)])
+        trip_site_o = jnp.concatenate([trip_site_o, jnp.zeros(pad, jnp.int32)])
+        trip_allele_o = jnp.concatenate(
+            [trip_allele_o, jnp.zeros(pad, jnp.int32)])
+    return (fallback, mapped, trip_row_o[:trip_cap], trip_site_o[:trip_cap],
+            trip_allele_o[:trip_cap], cov_diff)
+
+
+def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
+                            st_selected, row_len, fallback, cov_diff):
+    """Device twin of coverage_vec._run_walks + envelope + apply.
+
+    Walk lanes = occurrence expansion of selected states; emissions
+    (read, node, start, end) -> envelope per (read, node) via sorted
+    segment min/max -> +1/-1 boundary scatters on the persistent diff
+    array. Returns (cov_diff, fallback-with-additions)."""
+    R = row_len.shape[0]
+    w = jnp.where(st_selected, ps_hi - ps_lo + 1, 0).astype(jnp.int32)
+    w_item, w_off, w_valid, w_spill = _expand_budget(w, WCAP)
+    fallback = fallback | _flag_rows(R, w_spill, ps_row)
+
+    occ_sa = jnp.clip(ps_lo[w_item] + w_off, 0, di.size - 1)
+    prg_pos = jnp.clip(di.sa[occ_sa], 0, rt.ra_node.shape[0] - 1)
+    cur0 = rt.ra_node[prg_pos].astype(jnp.int32)
+    start0 = rt.ra_offset[prg_pos].astype(jnp.int32)
+    read_of = jnp.clip(ps_row[w_item], 0, R - 1)
+    remaining0 = row_len[read_of].astype(jnp.int32)
+    full = w_off == 0
+    trav_idx0 = ps_ntrav[w_item].astype(jnp.int32)
+    trav_w = ps_trav[w_item]        # (WCAP, TCAP, 2)
+    ar_w = jnp.arange(WCAP)
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        (active, first_iter, cur, start, remaining, trav_idx,
+         e_row, e_node, e_start, e_end, cursor, spill) = state
+        move = active & ~first_iter
+        n_edges = rt.nt_n_edges[cur]
+        dead = move & ((remaining <= 0) | (n_edges == 0))
+        active = active & ~dead
+        move = move & ~dead
+
+        is_bubble_entry = move & (n_edges > 1)
+        trav_idx = jnp.where(is_bubble_entry, trav_idx - 1, trav_idx)
+        choice = jnp.where(
+            is_bubble_entry,
+            trav_w[ar_w, jnp.clip(trav_idx, 0, TCAP - 1), 1], 0)
+        nxt = rt.nt_edges[jnp.clip(rt.nt_edge_off[cur] + choice, 0,
+                                   rt.nt_edges.shape[0] - 1)]
+        cur = jnp.where(move, nxt, cur)
+        start = jnp.where(move, 0, start)
+
+        consume = active & (first_iter | move)
+        seq_len = rt.nt_seq_len[cur]
+        has_seq = seq_len > 0
+        end = jnp.where(has_seq,
+                        jnp.minimum(seq_len - 1, start + remaining - 1), 0)
+        used = jnp.where(consume & has_seq, end - start + 1, 0)
+        remaining = remaining - used
+
+        emit = consume & has_seq & rt.nt_in_bubble[cur]
+        pos_in = jnp.cumsum(emit.astype(jnp.int32)) - 1
+        dest = jnp.where(emit, cursor + pos_in, EMITCAP)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        spill = spill | ((cursor + n_emit) > EMITCAP)
+        e_row = e_row.at[dest].set(read_of, mode="drop")
+        e_node = e_node.at[dest].set(cur, mode="drop")
+        e_start = e_start.at[dest].set(start, mode="drop")
+        e_end = e_end.at[dest].set(end, mode="drop")
+        cursor = jnp.minimum(cursor + n_emit, EMITCAP)
+
+        returned_now = jnp.where(first_iter,
+                                 consume & rt.nt_in_bubble[cur],
+                                 move & (rt.nt_in_bubble[cur]
+                                         | is_bubble_entry))
+        active = active & ~(~full & returned_now)
+        return (active, jnp.zeros(WCAP, bool), cur, start, remaining,
+                trav_idx, e_row, e_node, e_start, e_end, cursor, spill)
+
+    init = (w_valid, jnp.ones(WCAP, bool), cur0, start0, remaining0,
+            trav_idx0, jnp.full(EMITCAP, _BIG), jnp.zeros(EMITCAP, jnp.int32),
+            jnp.zeros(EMITCAP, jnp.int32), jnp.zeros(EMITCAP, jnp.int32),
+            jnp.int32(0), jnp.array(False))
+    (_, _, _, _, _, _, e_row, e_node, e_start, e_end, _, spill
+     ) = jax.lax.while_loop(cond, body, init)
+
+    # emission spill: capacity bug-out -- every read with a selected state
+    # falls back (expected never at EMITCAP=32k; a read emits ~1 node per
+    # crossed site)
+    sel_rows = _flag_rows(R, st_selected, ps_row)
+    fallback = fallback | jnp.where(spill, sel_rows, jnp.zeros(R, bool))
+
+    k_row, k_node, s_s, en_s = jax.lax.sort(
+        (e_row, e_node, e_start, e_end), num_keys=2)
+    valid_e = k_row < _BIG
+    gstart = _neighbor_diff(k_row, k_node)
+    first_of = _segment_first(gstart)
+    seg_min = jnp.full(EMITCAP + 1, _BIG).at[
+        jnp.where(valid_e, first_of, EMITCAP)].min(s_s, mode="drop")
+    seg_max = jnp.full(EMITCAP + 1, jnp.int32(-1)).at[
+        jnp.where(valid_e, first_of, EMITCAP)].max(en_s, mode="drop")
+    is_rep = gstart & valid_e
+    rep_node = jnp.clip(k_node, 0, rt.n_nodes - 1)
+    rep_row = jnp.clip(k_row, 0, R - 1)
+    keep = is_rep & ~fallback[rep_row]
+    covs = rt.nt_cov_start[rep_node]
+    keep &= covs >= 0
+    ar_e = jnp.arange(EMITCAP)
+    lo_flat = covs + seg_min[ar_e]
+    hi_flat = covs + seg_max[ar_e] + 1
+    # diff-array boundary adds; slot cov_size doubles as the drop target
+    # AND the legitimate end-boundary of last-base ranges -- both lie past
+    # the prefix-sum horizon, so the aliasing never reaches counts
+    cov_diff = cov_diff.at[jnp.where(keep, lo_flat, rt.cov_size)].add(
+        1, mode="drop")
+    cov_diff = cov_diff.at[jnp.where(keep, hi_flat, rt.cov_size)].add(
+        -1, mode="drop")
+    return cov_diff, fallback
+
+
+def finalise_cov_diff(cov_diff: np.ndarray) -> np.ndarray:
+    """Prefix-sum the diff array into per-base counts (uint16 range,
+    saturated -- equivalent to per-increment saturation for +1 ranges)."""
+    counts = np.cumsum(cov_diff[:-1].astype(np.int64))
+    return np.minimum(counts, np.iinfo(np.uint16).max).astype(np.uint16)

@@ -236,6 +236,60 @@ def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads):
                             lp.reshape(-1), le.reshape(-1)])
 
 
+@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap"),
+         donate_argnums=(11,))
+def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
+                       s_trav, s_nt, s_ing, s_ni,
+                       row_ok, row_first_raw, row_len, cov_diff,
+                       phases, num_reads, trip_cap):
+    """Fused scan + device-side selection/recording (record_jax.py).
+
+    Nothing bulky crosses the relay: the genealogy log is replayed on
+    device, per-base coverage accumulates in the donated diff array, and
+    the packed result is just per-row flags + compact selected-loci
+    triples."""
+    from .record_jax import replay_device, select_and_record_device
+
+    carry, (lp, le) = _log_search_phases(di, reads_T, carry, phases,
+                                         num_reads)
+    rid, lo, hi, pref, ovf = carry
+    alive = rid >= 0
+    trav, n_trav, ing, n_ing, bad = replay_device(
+        di, pref, lp, le, s_trav, s_nt, s_ing, s_ni, alive)
+    row_ok2 = row_ok & ~ovf
+    fallback, mapped, t_row, t_site, t_allele, cov_diff = \
+        select_and_record_device(
+            di, rt, rid, lo, hi, trav, n_trav, ing, n_ing, bad,
+            row_ok2, row_first_raw, row_len, cov_diff, trip_cap=trip_cap)
+    packed = jnp.concatenate([
+        ovf.astype(jnp.int32), fallback.astype(jnp.int32),
+        mapped.astype(jnp.int32), t_row, t_site, t_allele])
+    return packed, cov_diff
+
+
+def _unpack_record_result(flat: np.ndarray, num_reads: int, trip_cap: int):
+    """Host-side split of _log_search_record's packed output. Returns
+    (overflow, fallback, mapped, loci_rows) with loci_rows the
+    neighbour-deduped (row, site, allele) triples."""
+    R = num_reads
+    ovf = flat[:R].astype(bool)
+    fallback = flat[R:2 * R].astype(bool)
+    mapped = flat[2 * R:3 * R].astype(bool)
+    t = flat[3 * R:]
+    t_row = t[:trip_cap]
+    t_site = t[trip_cap:2 * trip_cap]
+    t_allele = t[2 * trip_cap:3 * trip_cap]
+    valid = t_row < R
+    uniq = np.ones(trip_cap, dtype=bool)
+    if trip_cap > 1:
+        uniq[1:] = ((t_row[1:] != t_row[:-1]) | (t_site[1:] != t_site[:-1])
+                    | (t_allele[1:] != t_allele[:-1]))
+    keep = valid & uniq
+    loci_rows = np.stack([t_row[keep], t_site[keep], t_allele[keep]],
+                         axis=1).astype(np.int64)
+    return ovf, fallback, mapped, loci_rows
+
+
 def _unpack_result(flat: np.ndarray, phases, num_reads: int,
                    n_outcomes: int):
     """Host-side split of _log_search_packed's output. Returns
@@ -445,6 +499,13 @@ class LogBatchedEngine:
         self.replayer = PathReplayer(self.jt, self.di.n_outcomes)
         self._site_meta = None
         self._last_kmer_index = None
+        # device-side selection + coverage recording (record_jax.py):
+        # the flagship path; GRAMTOOLS_TPU_DEVICE_RECORD=0 reverts to the
+        # numpy recorder (coverage_fast.py)
+        self.device_record = os.environ.get(
+            "GRAMTOOLS_TPU_DEVICE_RECORD", "1") == "1"
+        self.rt = None               # RecordTables, built lazily
+        self.cov_diff = None         # persistent device per-base diff array
         self.host_fallbacks = 0
         self.device_mapped = 0
         self.device_retried = 0
@@ -478,11 +539,17 @@ class LogBatchedEngine:
         return self.scan_complete(
             self.scan_submit(buffer, kmer_index, kmer_size, stats))
 
-    def scan_submit(self, buffer, kmer_index, kmer_size, stats):
+    def scan_submit(self, buffer, kmer_index, kmer_size, stats,
+                    first_raws=None):
         """Host filter + seeding, then *async* device dispatch: returns a
         pending token for scan_complete without blocking, so the device
         scans this buffer while the host finishes the previous one
-        (the driver pipelines buffers through submit/complete)."""
+        (the driver pipelines buffers through submit/complete).
+
+        With first_raws (per-read precomputed mt19937 first draws) and
+        device_record on, the dispatched program is the FUSED
+        scan+select+record (_log_search_record): selection and coverage
+        happen on device and only flags + loci triples come home."""
         import time
 
         from ..common.seq import revcomp
@@ -630,15 +697,72 @@ class LogBatchedEngine:
             if carry[0].shape[0] > pool0:
                 carry = (carry[0][:pool0], carry[1][:pool0],
                          carry[2][:pool0], carry[3][:pool0], carry[4])
-            reads_dev = jnp.asarray(reads_T)
-            carry_dev = jax.device_put(carry)
-            t0 = self._tick("submit_put", t0)
-            device_out = (_log_search_packed(self.di, reads_dev, carry_dev,
-                                             phases, R), phases, R)
+            if self.device_record and first_raws is not None:
+                device_out = self._dispatch_record(
+                    rows, reads_T, carry, seeds, host_rows, first_raws,
+                    phases, R)
+            else:
+                reads_dev = jnp.asarray(reads_T)
+                carry_dev = jax.device_put(carry)
+                t0 = self._tick("submit_put", t0)
+                device_out = (_log_search_packed(
+                    self.di, reads_dev, carry_dev, phases, R), phases, R)
         else:
             device_out = None
         self._tick("submit_dispatch", t0)
         return (results, rows, device_out, seeds, host_rows, carry, reads_T)
+
+    def _ensure_record_tables(self):
+        if self.rt is None:
+            from .record_jax import RecordTables
+            self.rt = RecordTables.build(self.idx)
+        if self.cov_diff is None:
+            self.cov_diff = jax.device_put(
+                np.zeros(self.rt.cov_size + 1, np.int32))
+
+    @staticmethod
+    def _pad_seeds(seeds):
+        """Pad seed arrays' state dim to a pow2 (bounds compile count)."""
+        s_trav, s_nt, s_ing, s_ni = seeds
+        n = s_nt.shape[0]
+        Np = _next_pow2(max(n, 1), floor=64)
+        if Np == n:
+            return seeds
+        pad = Np - n
+        z3 = lambda a: np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        return (z3(s_trav), z3(s_nt), z3(s_ing), z3(s_ni))
+
+    def _dispatch_record(self, rows, reads_T, carry, seeds, host_rows,
+                         first_raws, phases, R, row_map=None):
+        """Dispatch the fused scan+record program for one (sub)buffer.
+
+        row_map: optional original-row ids (retry pass); None = identity.
+        Returns the "record"-tagged device_out token entry."""
+        self._ensure_record_tables()
+        seeds_p = self._pad_seeds(seeds)
+        nrows = len(rows) if row_map is None else row_map.size
+        row_ok = np.ones(R, dtype=bool)
+        for r in host_rows:
+            row_ok[r] = False
+        row_first = np.zeros(R, dtype=np.uint32)
+        row_len = np.zeros(R, dtype=np.int32)
+        if row_map is None:
+            for row, (i, read) in enumerate(rows):
+                row_first[row] = first_raws[i]
+                row_len[row] = read.size
+        else:
+            for sub, orig in enumerate(row_map):
+                i, read = rows[orig]
+                row_first[sub] = first_raws[i]
+                row_len[sub] = read.size
+        trip_cap = 8 * R
+        packed, self.cov_diff = _log_search_record(
+            self.di, self.rt, jnp.asarray(reads_T), jax.device_put(carry),
+            *(jnp.asarray(a) for a in seeds_p),
+            jnp.asarray(row_ok), jnp.asarray(row_first),
+            jnp.asarray(row_len), self.cov_diff, phases, R, trip_cap)
+        return ("record", packed, R, trip_cap)
 
     def scan_complete(self, token):
         """Blocks on a scan_submit token; returns (results_skeleton,
@@ -790,9 +914,114 @@ class LogBatchedEngine:
         """Scan + vectorised selection/recording for a whole buffer.
         Hard cases (overflow, unseeded, LocusFinder edge features) re-map
         and record through the exact scalar path."""
-        token = self.scan_submit(buffer, kmer_index, kmer_size, stats)
+        token = self.scan_submit(buffer, kmer_index, kmer_size, stats,
+                                 first_raws=first_raws)
         self.record_complete(token, selection_seeds, first_raws, stats,
                              coverage, kmer_index, kmer_size)
+
+    def flush_device_coverage(self):
+        """Fold the device-resident per-base diff array into the graph's
+        coverage (called once per run, after the last buffer)."""
+        if self.cov_diff is None:
+            return
+        from .record_jax import finalise_cov_diff
+
+        counts = finalise_cov_diff(jax.device_get(self.cov_diff))
+        g = self.idx.graph
+        if g.coverage.size:
+            merged = g.coverage.astype(np.int64) + counts
+            np.minimum(merged, np.iinfo(np.uint16).max, out=merged)
+            g.coverage[:] = merged.astype(np.uint16)
+        self.cov_diff = None
+
+    def _record_complete_device(self, token, selection_seeds, first_raws,
+                                stats, coverage, kmer_index, kmer_size):
+        """Completion for the fused scan+record dispatch: fetch flags +
+        triples, retry overflowed rows with a full-budget second pass,
+        fold triples, host-record fallback rows exactly."""
+        import time
+
+        from .coverage import record_search_states
+        from .coverage_fast import fold_loci_rows
+        from .search import search_read_backwards
+
+        (results, rows, device_out, seeds, host_rows, carry, reads_T) = token
+        _, packed, R, trip_cap = device_out
+        k = kmer_size if kmer_size is not None else self.kmer_size
+        if kmer_index is None:
+            kmer_index = self._last_kmer_index
+        t0 = time.perf_counter()
+        flat = jax.device_get(packed)
+        t0 = self._tick("complete_get", t0)
+        ovf, fallback, mapped, loci_rows = _unpack_record_result(
+            flat, R, trip_cap)
+        nrows = len(rows)
+        fold_loci_rows(coverage, loci_rows)
+
+        # full-budget retry pass for rows the phased budgets overflowed
+        ovf_rows = np.flatnonzero(ovf[:nrows])
+        if ovf_rows.size > max(0.02 * nrows, 8):
+            self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
+        if (ovf_rows.size >= self.retry_min and reads_T.shape[0] > 0):
+            init_read_id, init_lo, init_hi, init_pref, _ = carry
+            sel = np.flatnonzero(
+                (init_read_id >= 0) & np.isin(init_read_id, ovf_rows))
+            if sel.size <= self.cfg.pool:
+                R2 = _row_capacity(ovf_rows.size)
+                row_remap = np.full(nrows, -1, dtype=np.int32)
+                row_remap[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
+                pool_r = min(self.cfg.pool,
+                             max(32768, _next_pow2(2 * max(sel.size, 1)),
+                                 _next_pow2(8 * R2)))
+                hits_r = self.cfg.hits * max(self.hits_boost, 2)
+                carry2 = empty_log_carry(R2, LogConfig(pool=pool_r,
+                                                       hits=hits_r))
+                rid2, lo2, hi2, pref2, _ = carry2
+                n2 = sel.size
+                rid2[:n2] = row_remap[init_read_id[sel]]
+                lo2[:n2] = init_lo[sel]
+                hi2[:n2] = init_hi[sel]
+                pref2[:n2] = init_pref[sel]     # same seed list
+                reads_T2 = np.zeros((reads_T.shape[0], R2), reads_T.dtype)
+                reads_T2[:, :ovf_rows.size] = reads_T[:, ovf_rows]
+                p2 = ((reads_T.shape[0], pool_r, hits_r),)
+                dev2 = self._dispatch_record(
+                    rows, reads_T2, carry2, seeds, set(), first_raws, p2, R2,
+                    row_map=ovf_rows)
+                _, packed2, _, tc2 = dev2
+                ovf2, fb2, mapped2, loci2 = _unpack_record_result(
+                    jax.device_get(packed2), R2, tc2)
+                if loci2.shape[0]:
+                    loci2[:, 0] = ovf_rows[loci2[:, 0]]
+                    fold_loci_rows(coverage, loci2)
+                ovf[ovf_rows] = ovf2[:ovf_rows.size]
+                fallback[ovf_rows] = fb2[:ovf_rows.size]
+                mapped[ovf_rows] = mapped2[:ovf_rows.size]
+                self.device_retried += int(ovf_rows.size)
+        self._tick("complete_retry", t0)
+
+        # exact host path for unseeded / still-overflowed / fallback rows
+        for row, (i, read) in enumerate(rows):
+            if row in host_rows or bool(ovf[row]) or bool(fallback[row]):
+                self.host_fallbacks += 1
+                seed = read[read.size - k:].astype(np.uint8).tobytes()
+                seed_states = kmer_index.get(seed, [])
+                states = (search_read_backwards(read, seed_states, k,
+                                                self.idx)
+                          if seed_states else [])
+                if not states:
+                    stats.no_extension_reads_count += 1
+                    continue
+                stats.exact_mapped_reads_count += 1
+                record_search_states(coverage, states, int(read.size),
+                                     self.idx, selection_seeds[i],
+                                     int(first_raws[i]))
+            else:
+                self.device_mapped += 1
+                if mapped[row]:
+                    stats.exact_mapped_reads_count += 1
+                else:
+                    stats.no_extension_reads_count += 1
 
     def record_complete(self, token, selection_seeds, first_raws, stats,
                         coverage, kmer_index=None, kmer_size=None):
@@ -804,6 +1033,11 @@ class LogBatchedEngine:
         from .coverage_fast import SiteMeta, select_and_record
         from .search import search_read_backwards
 
+        if (isinstance(token[2], tuple) and len(token[2]) == 4
+                and token[2][0] == "record"):
+            return self._record_complete_device(
+                token, selection_seeds, first_raws, stats, coverage,
+                kmer_index, kmer_size)
         if kmer_index is None:
             kmer_index = self._last_kmer_index
         k = self.kmer_size if kmer_size is None else kmer_size
