@@ -15,7 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libgramtpu.so"
-_SOURCES = ["sais.cpp", "fastx.cpp"]
+_SOURCES = ["sais.cpp", "fastx.cpp", "quasimap.cpp"]
 
 _lib = None
 _lib_tried = False
@@ -26,7 +26,7 @@ def _build_library() -> Optional[Path]:
     if not sources:
         return None
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_LIB_PATH)] + sources + ["-lz"]
+           "-fopenmp", "-o", str(_LIB_PATH)] + sources + ["-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -70,7 +70,85 @@ def get_native_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
     ]
+    if hasattr(_lib, "gram_tpu_cpu_quasimap"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        _lib.gram_tpu_cpu_quasimap.restype = ctypes.c_int64
+        _lib.gram_tpu_cpu_quasimap.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_int8), i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+            i32p, ctypes.c_int32,
+        ]
     return _lib
+
+
+def cpu_quasimap_baseline(idx, jt, reads, n_steps, seed_ptr, seed_lo,
+                          seed_hi, state_cap: int = 10000,
+                          num_threads: int = 0, iv_cap: int = 0):
+    """OpenMP scalar-search baseline (native/quasimap.cpp): maps a read
+    buffer with the reference backend's per-read worklist algorithm over
+    this package's index tables. Returns (per_read_state_counts, total)
+    or None if the native library is unavailable.
+
+    reads: (R, max_steps) int32 right-to-left base codes, 0 = pad.
+    seed_ptr/seed_lo/seed_hi: CSR seed SA intervals per read.
+    num_threads: 0 = OpenMP default (all cores), mirroring the reference
+    binary's --max_threads.
+    """
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "gram_tpu_cpu_quasimap"):
+        return None
+    fm = idx.fm
+    occ_t = np.ascontiguousarray(fm.occ.T, dtype=np.int32)  # (n+1, 4)
+    sym_start = np.ascontiguousarray(fm.sym_start, dtype=np.int32)
+    marker_prefix = np.ascontiguousarray(fm.marker_prefix, dtype=np.int32)
+    # marker rank -> jump locus (same precomputation as DeviceIndex.build)
+    msp = fm.marker_sa_pos
+    if msp.size == 0:
+        marker_rank_locus = np.full(1, -1, dtype=np.int32)
+    else:
+        prg_pos = fm.sa[np.clip(msp, 0, fm.size - 1)]
+        marker_rank_locus = np.ascontiguousarray(
+            jt.pos_to_locus[np.clip(prg_pos, 0, jt.pos_to_locus.shape[0] - 1)],
+            dtype=np.int32)
+    out_lo = np.ascontiguousarray(jt.out_lo, dtype=np.int32)
+    out_hi = np.ascontiguousarray(jt.out_hi, dtype=np.int32)
+    ops_kind = np.ascontiguousarray(jt.ops_kind, dtype=np.int8)
+    ops_site = np.ascontiguousarray(jt.ops_site, dtype=np.int32)
+    ops_allele = np.ascontiguousarray(jt.ops_allele, dtype=np.int32)
+    reads = np.ascontiguousarray(reads, dtype=np.int32)
+    n_steps = np.ascontiguousarray(n_steps, dtype=np.int32)
+    seed_ptr = np.ascontiguousarray(seed_ptr, dtype=np.int64)
+    seed_lo = np.ascontiguousarray(seed_lo, dtype=np.int32)
+    seed_hi = np.ascontiguousarray(seed_hi, dtype=np.int32)
+    n_reads, max_steps = reads.shape
+    out_states = np.empty(n_reads, dtype=np.int32)
+    out_iv = (np.full((n_reads, iv_cap, 2), -1, dtype=np.int32)
+              if iv_cap > 0 else None)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    as_i32 = lambda a: a.ctypes.data_as(i32p)
+    total = lib.gram_tpu_cpu_quasimap(
+        as_i32(occ_t), as_i32(sym_start), as_i32(marker_prefix),
+        as_i32(marker_rank_locus), as_i32(out_lo), as_i32(out_hi),
+        ops_kind.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        as_i32(ops_site), as_i32(ops_allele),
+        ctypes.c_int64(fm.size), ctypes.c_int32(jt.max_outcomes),
+        ctypes.c_int32(jt.max_ops),
+        as_i32(reads), as_i32(n_steps), ctypes.c_int64(n_reads),
+        ctypes.c_int64(max_steps),
+        seed_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        as_i32(seed_lo), as_i32(seed_hi),
+        ctypes.c_int32(state_cap), ctypes.c_int32(num_threads),
+        ctypes.c_int32(1), as_i32(out_states),
+        as_i32(out_iv) if out_iv is not None else i32p(),
+        ctypes.c_int32(iv_cap))
+    if total < 0:
+        return None
+    return out_states, int(total), out_iv
 
 
 def native_read_batches(path, batch_size: int = 5000,
