@@ -219,29 +219,47 @@ def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
     return carry, (jnp.concatenate(logs_p), jnp.concatenate(logs_e))
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads"))
-def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads):
-    return _log_search_phases(di, reads_T, carry, phases, num_reads)
+def _occ_rows_for(di: DeviceIndex, blocks, rank: str):
+    """Rank-implementation selector for the occ gather: None = the dense
+    (n+1, 4) int32 prefix-table gather; "packed" = the bit-packed block
+    rank (ops/rank.py -- Pallas popcount kernel on TPU, jnp twin
+    elsewhere)."""
+    if rank == "dense" or blocks is None:
+        return None
+    from ..ops.rank import make_packed_occ_rows
+
+    return make_packed_occ_rows(blocks, di.size)
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads"))
-def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads):
+@partial(jax.jit, static_argnames=("phases", "num_reads", "rank"))
+def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads,
+                     blocks=None, rank="dense"):
+    return _log_search_phases(di, reads_T, carry, phases, num_reads,
+                              occ_rows=_occ_rows_for(di, blocks, rank))
+
+
+@partial(jax.jit, static_argnames=("phases", "num_reads", "rank"))
+def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads,
+                       blocks=None, rank="dense"):
     """Like _log_search_impl but returns ONE flat int32 array: every
     result leaf fetched separately pays a full host<->device round trip
     (expensive through a remote-device relay), so the engine packs the
     final carry + genealogy log on device and unpacks on host."""
-    carry, (lp, le) = _log_search_phases(di, reads_T, carry, phases, num_reads)
+    carry, (lp, le) = _log_search_phases(
+        di, reads_T, carry, phases, num_reads,
+        occ_rows=_occ_rows_for(di, blocks, rank))
     rid, lo, hi, pref, ovf = carry
     return jnp.concatenate([rid, lo, hi, pref, ovf.astype(jnp.int32),
                             lp.reshape(-1), le.reshape(-1)])
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap"),
+@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap", "rank"),
          donate_argnums=(11,))
 def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
                        s_trav, s_nt, s_ing, s_ni,
                        row_ok, row_first_raw, row_len, cov_diff,
-                       phases, num_reads, trip_cap):
+                       phases, num_reads, trip_cap,
+                       blocks=None, rank="dense"):
     """Fused scan + device-side selection/recording (record_jax.py).
 
     Nothing bulky crosses the relay: the genealogy log is replayed on
@@ -250,8 +268,9 @@ def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
     triples."""
     from .record_jax import replay_device, select_and_record_device
 
-    carry, (lp, le) = _log_search_phases(di, reads_T, carry, phases,
-                                         num_reads)
+    carry, (lp, le) = _log_search_phases(
+        di, reads_T, carry, phases, num_reads,
+        occ_rows=_occ_rows_for(di, blocks, rank))
     rid, lo, hi, pref, ovf = carry
     alive = rid >= 0
     trav, n_trav, ing, n_ing, bad = replay_device(
@@ -345,12 +364,13 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
 
 
 def make_log_search(di: DeviceIndex, cfg: LogConfig, num_reads: int,
-                    phases=None):
+                    phases=None, blocks=None, rank="dense"):
     def run(reads_T, carry):
         p = phases
         if p is None:
             p = auto_phases(reads_T.shape[0], num_reads, cfg)
-        return _log_search_impl(di, reads_T, carry, tuple(p), num_reads)
+        return _log_search_impl(di, reads_T, carry, tuple(p), num_reads,
+                                blocks=blocks, rank=rank)
     return run
 
 
@@ -496,6 +516,21 @@ class LogBatchedEngine:
                 pool=int(os.environ.get("GRAMTOOLS_TPU_POOL", LogConfig.pool)),
                 hits=int(os.environ.get("GRAMTOOLS_TPU_HITS", LogConfig.hits)))
         self.cfg = cfg
+        # rank implementation for the hot occ gather: "dense" (int32
+        # prefix-table rows) or "packed" (bit-packed blocks + Pallas
+        # popcount rank, ops/rank.py -- 21x smaller index residency)
+        self.rank = os.environ.get("GRAMTOOLS_TPU_RANK", "dense")
+        self.blocks = None
+        if self.rank == "packed":
+            import dataclasses
+
+            from ..ops.rank import build_packed_occ
+
+            self.blocks = jnp.asarray(build_packed_occ(idx.fm))
+            # the dense occ table is dead weight in packed mode: ship a
+            # stub so it never reaches device HBM
+            self.di = dataclasses.replace(
+                self.di, occ=jnp.zeros((1, 4), jnp.int32))
         self.replayer = PathReplayer(self.jt, self.di.n_outcomes)
         self._site_meta = None
         self._last_kmer_index = None
@@ -706,7 +741,8 @@ class LogBatchedEngine:
                 carry_dev = jax.device_put(carry)
                 t0 = self._tick("submit_put", t0)
                 device_out = (_log_search_packed(
-                    self.di, reads_dev, carry_dev, phases, R), phases, R)
+                    self.di, reads_dev, carry_dev, phases, R,
+                    blocks=self.blocks, rank=self.rank), phases, R)
         else:
             device_out = None
         self._tick("submit_dispatch", t0)
@@ -761,7 +797,8 @@ class LogBatchedEngine:
             self.di, self.rt, jnp.asarray(reads_T), jax.device_put(carry),
             *(jnp.asarray(a) for a in seeds_p),
             jnp.asarray(row_ok), jnp.asarray(row_first),
-            jnp.asarray(row_len), self.cov_diff, phases, R, trip_cap)
+            jnp.asarray(row_len), self.cov_diff, phases, R, trip_cap,
+            blocks=self.blocks, rank=self.rank)
         return ("record", packed, R, trip_cap)
 
     def scan_complete(self, token):
@@ -834,7 +871,8 @@ class LogBatchedEngine:
         steps = reads_T.shape[0]
         p2 = ((steps, pool_r, hits_r),)
         flat2 = _log_search_packed(self.di, jnp.asarray(reads_T2),
-                                   jax.device_put(carry2), p2, R2)
+                                   jax.device_put(carry2), p2, R2,
+                                   blocks=self.blocks, rank=self.rank)
         c2, lp2, le2 = _unpack_result(jax.device_get(flat2), p2, R2,
                                       self.di.n_outcomes)
         lp2 = lp2.copy()
