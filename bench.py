@@ -1,22 +1,36 @@
-"""Benchmark: batched vBWT quasimap throughput on one TPU chip.
+"""Benchmark: end-to-end quasimap throughput on one TPU chip.
 
 Workload (BASELINE.md): an M. tuberculosis-scale genome graph (4.4Mb,
-SNP-dense -- 100k biallelic sites, the reference's primary production
-use case) with 150bp reads sampled from random haplotype paths. The
-metric is device-mapped reads/sec/chip through the batched search scan
-(search_jax): the exact per-base vBWT extension loop that dominates the
-reference's runtime (SURVEY.md §3.2 hot loops).
+100k variant sites) with 150bp reads sampled from random haplotype
+paths. Two graph profiles:
 
-vs_baseline: speedup over this package's host (scalar, reference-
-semantics) engine on the same workload -- the reference repo publishes
-no benchmark numbers (BASELINE.md), so the scalar engine is the
-recorded baseline.
+  BENCH_PROFILE=snp    (default) evenly spread biallelic SNPs -- the
+                       reference's primary production shape;
+  BENCH_PROFILE=mixed  70% SNPs, 10% deletions (incl. direct
+                       deletions), 10% insertions, 5% multi-allelic,
+                       5% nested sites -- stresses the jump-chain /
+                       hit-budget machinery.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric: END-TO-END device-engine reads/s/chip through the full
+production mapping path (quasimap_reads with the genealogy-log engine:
+read IO, kmer filter, vectorised seeding, fused device scan + selection
++ coverage recording, retries, host fallbacks). The scan-only rate, an
+analytic HBM roofline fraction, per-phase pool occupancy, and the
+engine's stage timers are reported alongside.
+
+vs_baseline: speedup over the compiled C++/OpenMP scalar-search
+baseline (gramtools_tpu/native/quasimap.cpp) running the reference
+backend's per-read worklist algorithm on all host cores -- the
+reference `gram` binary itself cannot be built offline (BASELINE.md).
+
+Prints ONE JSON line whose required keys are
+{"metric", "value", "unit", "vs_baseline"}; extra keys carry the
+breakdown.
 """
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -25,17 +39,35 @@ GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "4.4"))
 NUM_SITES = int(os.environ.get("BENCH_NUM_SITES", "100000"))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", "150"))
 KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
-BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))       # scan-only batch
 BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
-HOST_READS = int(os.environ.get("BENCH_HOST_READS", "20"))
-ENGINE = os.environ.get("BENCH_ENGINE", "log")  # log | flat
+E2E_READS = int(os.environ.get("BENCH_E2E_READS", "20000"))
+WARM_READS = int(os.environ.get("BENCH_WARM_READS", "5000"))
+CPP_THREADS = int(os.environ.get("BENCH_CPP_THREADS", "0"))  # 0 = all cores
+PROFILE = os.environ.get("BENCH_PROFILE", "snp")         # snp | mixed
+RANK = os.environ.get("BENCH_RANK",
+                      os.environ.get("GRAMTOOLS_TPU_RANK", "dense"))
+SKIP_E2E = os.environ.get("BENCH_SKIP_E2E") == "1"
 
+# HBM peak bytes/s per chip by device kind (public spec numbers)
+HBM_PEAK = {
+    "TPU v4": 1.228e12,
+    "TPU v5e": 8.19e11,
+    "TPU v5 lite": 8.19e11,
+    "TPU v5p": 2.765e12,
+    "TPU v6e": 1.64e12,
+}
+
+
+# --------------------------------------------------------------------------
+# synthetic graphs
+# --------------------------------------------------------------------------
 
 def build_synthetic_mtb_graph(rng, genome_len, num_sites):
     """Linear PRG: random genome with evenly spread biallelic SNPs."""
     seq = rng.randint(1, 5, size=genome_len).astype(np.uint32)
-    positions = np.sort(rng.choice(np.arange(1, genome_len - 1), size=num_sites,
-                                   replace=False))
+    positions = np.sort(rng.choice(np.arange(1, genome_len - 1),
+                                   size=num_sites, replace=False))
     out = np.empty(genome_len + 4 * num_sites, dtype=np.uint32)
     cursor = 0
     prev = 0
@@ -46,7 +78,8 @@ def build_synthetic_mtb_graph(rng, genome_len, num_sites):
         cursor += chunk.size
         ref_base = seq[pos]
         alt_base = ref_base % 4 + 1
-        out[cursor : cursor + 5] = [site, ref_base, site + 1, alt_base, site + 1]
+        out[cursor : cursor + 5] = [site, ref_base, site + 1, alt_base,
+                                    site + 1]
         cursor += 5
         prev = pos + 1
     chunk = seq[prev:]
@@ -55,166 +88,368 @@ def build_synthetic_mtb_graph(rng, genome_len, num_sites):
     return out[:cursor]
 
 
-def sample_reads(rng, prg_ints, n_reads, read_len):
-    """Reads from random haplotype paths (random allele at each site)."""
-    markers = prg_ints > 4
-    # haplotype: drop markers, pick ref or alt per site
-    is_site = (prg_ints > 4) & (prg_ints % 2 == 1)
-    # reconstruct per-position allele membership for biallelic SNP prg:
-    # layout ... site ref alt_marker alt alt_marker ...
-    site_pos = np.flatnonzero(is_site)
-    keep = ~markers
-    ref_mask = keep.copy()
-    alt_mask = keep.copy()
-    ref_mask[site_pos + 3] = False  # drop alt base from ref path
-    alt_mask[site_pos + 1] = False  # drop ref base from alt path
-    ref_path = prg_ints[ref_mask].astype(np.uint8)
-    alt_path = prg_ints[alt_mask].astype(np.uint8)
-    assert ref_path.size == alt_path.size
+def build_mixed_graph(rng, genome_len, num_sites):
+    """Linear PRG with SNPs, deletions, insertions, multi-allelic and
+    nested sites (BENCH_PROFILE=mixed): exercises direct-deletion jump
+    targets, adjacent-marker chains and larger per-step marker fan-out."""
+    seq = rng.randint(1, 5, size=genome_len).astype(np.uint32)
+    # keep >=12bp between variant anchors so ref spans never collide
+    positions = 12 + np.sort(rng.choice(
+        np.arange((genome_len - 24) // 12), size=num_sites,
+        replace=False)) * 12
+    kinds = rng.choice(5, size=num_sites,
+                       p=[0.70, 0.10, 0.10, 0.05, 0.05])
+    out = []
+    marker = 5
+    prev = 0
+    for pos, kind in zip(positions, kinds):
+        out.append(seq[prev:pos])
+        m = marker
+        if kind == 0:    # SNP
+            ref = [int(seq[pos])]
+            alts = [[int(seq[pos]) % 4 + 1]]
+            marker += 2
+        elif kind == 1:  # deletion (direct-deletion allele)
+            dl = int(rng.randint(1, 6))
+            ref = [int(b) for b in seq[pos : pos + dl]]
+            alts = [[]]
+            marker += 2
+        elif kind == 2:  # insertion
+            ref = [int(seq[pos])]
+            ins = [int(b) for b in rng.randint(1, 5, size=rng.randint(1, 9))]
+            alts = [[int(seq[pos])] + ins]
+            marker += 2
+        elif kind == 3:  # multi-allelic SNP
+            b = int(seq[pos])
+            ref = [b]
+            alts = [[(b + j) % 4 + 1] for j in range(3)]
+            marker += 2
+        else:            # nested: alt carries an inner biallelic SNP
+            b = int(seq[pos])
+            mi = m + 2
+            inner_ref = b % 4 + 1
+            inner_alt = (b + 1) % 4 + 1
+            ref = [b, b % 4 + 1]
+            alts = [[b, mi, inner_ref, mi + 1, inner_alt, mi + 1,
+                     (b + 2) % 4 + 1]]
+            marker += 4
+        site = [m] + ref
+        for a in alts:
+            site += [m + 1] + a
+        site += [m + 1]
+        out.append(np.asarray(site, dtype=np.uint32))
+        prev = pos + max(len(ref) if kind == 1 else 1, 1)
+    out.append(seq[prev:])
+    return np.concatenate(out)
+
+
+# --------------------------------------------------------------------------
+# haplotype path sampling (profile-agnostic)
+# --------------------------------------------------------------------------
+
+def sample_haplotypes(prg_ints, end_positions, rng, n_paths):
+    """Splices random-allele haplotype sequences out of a linear PRG,
+    recursing into nested sites."""
+    ints = np.asarray(prg_ints, dtype=np.int64)
+    n = ints.size
+    is_marker = ints > 4
+    # next marker position at-or-after each index
+    next_marker = np.full(n + 1, n, dtype=np.int64)
+    mpos = np.flatnonzero(is_marker)
+    if mpos.size:
+        idx = np.searchsorted(mpos, np.arange(n), side="left")
+        next_marker[:n] = np.where(idx < mpos.size, mpos[np.minimum(
+            idx, mpos.size - 1)], n)
+    entries = {int(ints[p]): int(p) for p in mpos if ints[p] % 2 == 1}
+    # per-site allele spans (between the entry and end markers, split at
+    # top-level even-marker positions, which for value m+1 are exactly
+    # the positions holding m+1 -- nested sites use different markers);
+    # end_positions is keyed by the even (allele) marker m+1
+    spans = {}
+    for m, entry in entries.items():
+        end = end_positions[m + 1]
+        seps = [int(p) for p in range(entry + 1, end + 1)
+                if ints[p] == m + 1]
+        lo = entry + 1
+        sp = []
+        for s in seps:
+            sp.append((lo, s))
+            lo = s + 1
+        spans[m] = sp
+
+    def walk(lo, hi, parts, r):
+        i = lo
+        while i < hi:
+            v = int(ints[i])
+            if v > 4:
+                m = v if v % 2 == 1 else v - 1
+                sp = spans[m]
+                a, b = sp[r.randint(len(sp))]
+                walk(a, b, parts, r)
+                i = end_positions[m + 1] + 1
+            else:
+                j = min(int(next_marker[i]), hi)
+                parts.append(ints[i:j])
+                i = j
+
+    paths = []
+    for _ in range(n_paths):
+        parts = []
+        walk(0, n, parts, rng)
+        paths.append(np.concatenate(parts).astype(np.uint8))
+    return paths
+
+
+def sample_reads(rng, paths, n_reads, read_len):
     reads = np.empty((n_reads, read_len), dtype=np.uint8)
     for i in range(n_reads):
-        path = ref_path if rng.rand() < 0.5 else alt_path
+        path = paths[rng.randint(len(paths))]
         start = rng.randint(0, path.size - read_len)
         reads[i] = path[start : start + read_len]
     return reads
 
+
+def write_fastq(path, reads):
+    lut = np.frombuffer(b"NACGT", dtype="S1")
+    with open(path, "w") as fh:
+        qual = "I" * reads.shape[1]
+        for i, r in enumerate(reads):
+            seq = lut[r].tobytes().decode()
+            fh.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+
+
+# --------------------------------------------------------------------------
+# roofline accounting
+# --------------------------------------------------------------------------
+
+def scan_gather_bytes_per_batch(phases, n_outcomes, rank):
+    """Analytic HBM bytes moved by one scan batch: the gather/scatter
+    terms of _build_log_step over the PADDED phase shapes (gathers run
+    on padded pools; occupancy tells how much of that was live work)."""
+    B = n_outcomes
+    occ_row = 96 + 4 if rank == "packed" else 16   # packed: 96B rec + off
+    total = 0
+    for n_steps, pool, hits in phases:
+        per_step = (
+            2 * pool * occ_row          # LF occ rows (lo, hi+1)
+            + pool * 4                  # base gather by read id
+            + hits * 4                  # marker rank -> locus
+            + 2 * hits * B * 4          # jump outcome intervals
+            + 2 * hits * B * occ_row    # newborn LF occ rows
+            + 2 * 4 * (2 * pool + hits * B) * 4  # repack r/w of 4 arrays
+        )
+        total += n_steps * per_step
+    return total
+
+
+def hbm_peak_bytes():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_PEAK.items():
+        if kind.lower().startswith(k.lower()):
+            return v, kind
+    # axon-relayed chips report backend "axon"; assume v5e-class peak
+    return (8.19e11, kind) if jax.default_backend() != "cpu" else (None, kind)
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
 
 def main():
     t0 = time.time()
     rng = np.random.RandomState(42)
     genome_len = int(GENOME_MB * 1e6)
 
-    # persistent XLA compile cache: repeated bench runs skip the (slow)
-    # TPU compile of the search scan
     import jax
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
+    # this environment's sitecustomize registers the axon TPU backend and
+    # overrides JAX_PLATFORMS; re-assert an explicit platform request so
+    # CPU smoke runs (CI) stay off the single-claim TPU chip
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gramtools_tpu.common.jax_setup import enable_compile_cache
+    enable_compile_cache()
+
     from gramtools_tpu.index.fm import FMIndex
     from gramtools_tpu.prg.graph import build_cov_graph
     from gramtools_tpu.prg.linearise import PrgString
     from gramtools_tpu.mapping.search import PrgIndex
     from gramtools_tpu.mapping.search_jax import DeviceIndex
 
-    print(f"# building synthetic graph: {GENOME_MB}Mb, {NUM_SITES} sites",
-          file=sys.stderr)
-    prg_ints = build_synthetic_mtb_graph(rng, genome_len, NUM_SITES)
+    print(f"# building synthetic graph: {GENOME_MB}Mb, {NUM_SITES} sites, "
+          f"profile={PROFILE}, rank={RANK}", file=sys.stderr)
+    if PROFILE == "mixed":
+        prg_ints = build_mixed_graph(rng, genome_len, NUM_SITES)
+    else:
+        prg_ints = build_synthetic_mtb_graph(rng, genome_len, NUM_SITES)
     prg = PrgString(prg_ints)
     graph = build_cov_graph(prg)
     fm = FMIndex.build(prg_ints)
-    idx = PrgIndex(prg_ints, graph, fm, dict(prg.end_positions))
+    end_positions = dict(prg.end_positions)
+    idx = PrgIndex(prg_ints, graph, fm, end_positions)
     print(f"# index built in {time.time()-t0:.1f}s; fm size {fm.size}",
           file=sys.stderr)
 
     from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
-
     t_k = time.time()
     kmer_index = build_kmer_index_vectorised(idx, KMER_SIZE)
     print(f"# kmer index k={KMER_SIZE}: {kmer_index.num_kmers()} kmers, "
           f"{kmer_index.lo.size} states, {time.time()-t_k:.1f}s",
           file=sys.stderr)
 
-    di = DeviceIndex.build(idx)
+    paths = sample_haplotypes(prg_ints, end_positions, rng, n_paths=8)
 
-    reads = sample_reads(rng, prg_ints, BATCH, READ_LEN)
+    out = {}
 
-    import jax
+    # ---- end-to-end device mapping path -------------------------------
+    if not SKIP_E2E:
+        os.environ.setdefault("GRAMTOOLS_TPU_DEVICE_RECORD", "1")
+        os.environ["GRAMTOOLS_TPU_TIMERS"] = "1"
+        if RANK != "dense":
+            os.environ["GRAMTOOLS_TPU_RANK"] = RANK
+        from gramtools_tpu.mapping.quasimap import quasimap_reads
+        from gramtools_tpu.mapping.search_jax_log import LogBatchedEngine
+
+        engine = LogBatchedEngine(idx, KMER_SIZE)
+        with tempfile.TemporaryDirectory() as td:
+            warm_fq = os.path.join(td, "warm.fastq")
+            main_fq = os.path.join(td, "reads.fastq")
+            write_fastq(warm_fq, sample_reads(rng, paths, WARM_READS,
+                                              READ_LEN))
+            write_fastq(main_fq, sample_reads(rng, paths, E2E_READS,
+                                              READ_LEN))
+            t_w = time.time()
+            quasimap_reads([warm_fq], kmer_index, idx, KMER_SIZE, seed=42,
+                           engine=engine)
+            warm_s = time.time() - t_w
+            print(f"# e2e warmup ({WARM_READS} reads, incl. compile): "
+                  f"{warm_s:.1f}s", file=sys.stderr)
+            engine.timers.clear()
+            t_e = time.time()
+            stats, coverage = quasimap_reads([main_fq], kmer_index, idx,
+                                             KMER_SIZE, seed=42,
+                                             engine=engine)
+            e2e_s = time.time() - t_e
+        e2e_rps = E2E_READS / e2e_s
+        out["value"] = round(e2e_rps, 1)
+        out["e2e_seconds"] = round(e2e_s, 3)
+        out["e2e_compile_warmup_seconds"] = round(warm_s, 1)
+        out["device_mapped"] = engine.device_mapped
+        out["host_fallbacks"] = engine.host_fallbacks
+        out["device_retried"] = engine.device_retried
+        out["stage_seconds"] = {k: round(v, 3)
+                                for k, v in sorted(engine.timers.items())}
+        print(f"# e2e: {e2e_rps:.0f} reads/s "
+              f"({engine.device_mapped} dev, {engine.host_fallbacks} host, "
+              f"{engine.device_retried} retried); stages: "
+              f"{out['stage_seconds']}", file=sys.stderr)
+
+    # ---- scan-only rate + occupancy + roofline ------------------------
     import jax.numpy as jnp
+    from gramtools_tpu.mapping.search_jax_log import (
+        LogConfig, _log_search_probe, auto_phases, empty_log_carry)
 
+    di = DeviceIndex.build(idx)
+    blocks = None
+    if RANK == "packed":
+        from gramtools_tpu.ops.rank import build_packed_occ
+        import dataclasses
+        blocks = jnp.asarray(build_packed_occ(idx.fm))
+        di = dataclasses.replace(di, occ=jnp.zeros((1, 4), jnp.int32))
+
+    reads = sample_reads(rng, paths, BATCH, READ_LEN)
     pool = int(os.environ.get("BENCH_POOL", 4 * BATCH))
     hits = int(os.environ.get("BENCH_HITS", BATCH // 2))
-    if ENGINE == "log":
-        from gramtools_tpu.mapping.search_jax_log import (
-            LogConfig, empty_log_carry, make_log_search)
-        cfg = LogConfig(pool=pool, hits=hits)
-        search = make_log_search(di, cfg, BATCH)
-        empty_carry_fn = lambda R: empty_log_carry(R, cfg)
-    else:
-        from gramtools_tpu.mapping.search_jax_flat import (
-            FlatConfig, empty_flat_carry, make_flat_search)
-        cfg = FlatConfig(pool=pool, hits=hits)
-        search = make_flat_search(di, cfg, BATCH)
-        empty_carry_fn = lambda R: empty_flat_carry(R, cfg)
+    cfg = LogConfig(pool=pool, hits=hits)
+    carry = empty_log_carry(BATCH, cfg)
+    # seed via the kmer index (vectorised), fill the carry front
+    owner, s_lo, s_hi, *_ = kmer_index.seed_batch(
+        reads[:, READ_LEN - KMER_SIZE:])
+    n_states = min(owner.size, cfg.pool)
+    read_id, lo, hi, pref, _ = carry
+    read_id[:n_states] = owner[:n_states]
+    lo[:n_states] = s_lo[:n_states]
+    hi[:n_states] = s_hi[:n_states]
+    pref[:n_states] = -np.arange(1, n_states + 1, dtype=np.int32)
+    steps = READ_LEN - KMER_SIZE
+    phases = auto_phases(steps, BATCH, cfg, n_seed_states=n_states)
+    pool0 = phases[0][1]
+    carry = tuple(a[:pool0] for a in carry[:4]) + (carry[4],)
+    reads_T = np.ascontiguousarray(
+        reads[:, :steps][:, ::-1].T).astype(np.int32)
+    print(f"# scan batch: {np.unique(owner[:n_states]).size}/{BATCH} seeded,"
+          f" {n_states} states, phases={phases}", file=sys.stderr)
 
-    def make_args(reads_arr):
-        """Kmer-seeded batch: vectorised seed of the state pool from the
-        last-kmer index hits, stream the remaining bases."""
-        R = reads_arr.shape[0]
-        k = KMER_SIZE
-        carry = empty_carry_fn(R)
-        owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = kmer_index.seed_batch(
-            reads_arr[:, READ_LEN - k:])
-        n_states = min(owner.size, cfg.pool)
-        if ENGINE == "log":
-            read_id, lo, hi, pref, _ = carry
-            pref[:n_states] = -np.arange(1, n_states + 1, dtype=np.int32)
-        else:
-            read_id, lo, hi, trav, n_trav, ing, n_ing, _ = carry
-            if s_trav.shape[1] < cfg.path:
-                pad = ((0, 0), (0, cfg.path - s_trav.shape[1]), (0, 0))
-                s_trav = np.pad(s_trav, pad)
-                s_ing = np.pad(s_ing, pad)
-            trav[:n_states] = s_trav[:n_states]
-            n_trav[:n_states] = s_nt[:n_states]
-            ing[:n_states] = s_ing[:n_states]
-            n_ing[:n_states] = s_ni[:n_states]
-        read_id[:n_states] = owner[:n_states]
-        lo[:n_states] = s_lo[:n_states]
-        hi[:n_states] = s_hi[:n_states]
-        reads_T = np.ascontiguousarray(
-            reads_arr[:, : READ_LEN - k][:, ::-1].T).astype(np.int32)
-        n_seeded = np.unique(owner[:n_states]).size
-        print(f"# {n_seeded}/{R} reads seeded, {n_states} seed states",
-              file=sys.stderr)
-        return jnp.asarray(reads_T), jax.device_put(carry)
-
-    t_s = time.time()
-    reads_T, carry = make_args(reads)
-    seed_time = time.time() - t_s
-
-    # warmup + compile
-    out = search(reads_T, carry)
-    jax.block_until_ready(out)
-    final = out[0] if ENGINE == "log" else out
-    final_read_id = np.asarray(final[0])
-    n_mapped = np.unique(final_read_id[final_read_id >= 0]).size
-    n_overflow = int(np.asarray(final[4 if ENGINE == "log" else 7]).sum())
-    print(f"# warmup done; {n_mapped}/{BATCH} reads mapped, "
-          f"{n_overflow} overflowed", file=sys.stderr)
-
+    args = (di, jnp.asarray(reads_T), jax.device_put(carry), tuple(phases),
+            BATCH)
+    t_c = time.time()
+    res = _log_search_probe(*args, blocks=blocks, rank=RANK)
+    jax.block_until_ready(res)
+    print(f"# scan warmup/compile: {time.time()-t_c:.1f}s", file=sys.stderr)
     t1 = time.time()
     for _ in range(BATCHES):
-        out = search(reads_T, carry)
-    jax.block_until_ready(out)
+        res = _log_search_probe(*args, blocks=blocks, rank=RANK)
+    jax.block_until_ready(res)
     t2 = time.time()
-    device_rps = BATCH * BATCHES / (t2 - t1)
-    total_rps = BATCH * BATCHES / ((t2 - t1) + seed_time * BATCHES)
-    print(f"# device scan: {device_rps:.0f} reads/s; incl. host seeding: "
-          f"{total_rps:.0f} reads/s", file=sys.stderr)
+    scan_rps = BATCH * BATCHES / (t2 - t1)
+    live = np.asarray(res[2])
+    occupancy = [round(float(l) / p, 4)
+                 for l, p in zip(live, [p for _, p, _ in phases])]
+    n_overflow = int(np.asarray(res[0][4]).sum())
 
-    # host scalar engine baseline on a subset (same seeding strategy)
-    from gramtools_tpu.mapping.search import search_read_backwards
+    bytes_per_batch = scan_gather_bytes_per_batch(phases, di.n_outcomes,
+                                                  RANK)
+    batch_s = (t2 - t1) / BATCHES
+    gb_per_s = bytes_per_batch / batch_s
+    peak, kind = hbm_peak_bytes()
+    out["scan_reads_per_sec"] = round(scan_rps, 1)
+    out["scan_overflow_reads"] = n_overflow
+    out["pool_occupancy_per_phase"] = occupancy
+    out["gather_bytes_per_batch"] = bytes_per_batch
+    out["gather_GBps"] = round(gb_per_s / 1e9, 2)
+    out["device_kind"] = kind
+    if peak:
+        out["hbm_roofline_fraction"] = round(gb_per_s / peak, 4)
+    print(f"# scan: {scan_rps:.0f} reads/s, {gb_per_s/1e9:.1f} GB/s of "
+          f"{'%.0f' % (peak/1e9) if peak else '?'} GB/s peak, "
+          f"occupancy={occupancy}, overflow={n_overflow}", file=sys.stderr)
+
+    # ---- compiled C++/OpenMP baseline (reference-algorithm scalar) ----
+    cpp_rps = None
+    from gramtools_tpu.index.native import cpu_quasimap_baseline
+    from gramtools_tpu.mapping.jump_table import build_jump_table
+    jt = build_jump_table(idx)
+    order = np.argsort(owner, kind="stable")
+    seed_ptr = np.zeros(BATCH + 1, dtype=np.int64)
+    np.add.at(seed_ptr, owner + 1, 1)
+    seed_ptr = np.cumsum(seed_ptr)
+    reads_rl = np.ascontiguousarray(reads[:, :steps][:, ::-1]).astype(
+        np.int32)
+    n_steps_arr = np.full(BATCH, steps, dtype=np.int32)
     t3 = time.time()
-    for i in range(HOST_READS):
-        seed_states = kmer_index.get(reads[i, READ_LEN - KMER_SIZE:].tobytes())
-        if seed_states:
-            search_read_backwards(reads[i], seed_states, KMER_SIZE, idx)
+    result = cpu_quasimap_baseline(
+        idx, jt, reads_rl, n_steps_arr, seed_ptr,
+        s_lo[order], s_hi[order], num_threads=CPP_THREADS)
     t4 = time.time()
-    host_rps = HOST_READS / (t4 - t3)
-    print(f"# host scalar: {host_rps:.1f} reads/s", file=sys.stderr)
+    if result is not None:
+        cpp_rps = BATCH / (t4 - t3)
+        out["cpp_omp_baseline_reads_per_sec"] = round(cpp_rps, 1)
+        out["cpp_threads"] = CPP_THREADS or os.cpu_count()
+        print(f"# C++/OpenMP baseline ({out['cpp_threads']} threads): "
+              f"{cpp_rps:.0f} reads/s", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "quasimap_reads_per_sec_per_chip",
-        "value": round(device_rps, 1),
-        "unit": "reads/s (150bp, 4.4Mb SNP graph)",
-        "vs_baseline": round(device_rps / host_rps, 2),
-    }))
+    primary = out.get("value", out["scan_reads_per_sec"])
+    result_line = {
+        "metric": "quasimap_e2e_reads_per_sec_per_chip",
+        "value": primary,
+        "unit": f"reads/s (150bp, {GENOME_MB}Mb {PROFILE} graph, "
+                f"full device mapping path)",
+        "vs_baseline": round(primary / cpp_rps, 2) if cpp_rps else None,
+    }
+    result_line.update(out)
+    result_line["value"] = primary
+    print(json.dumps(result_line))
 
 
 if __name__ == "__main__":

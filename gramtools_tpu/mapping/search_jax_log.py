@@ -193,15 +193,19 @@ def _resize_pool(carry, pool: int, num_reads: int):
 
 
 def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
-                       occ_rows=None):
+                       occ_rows=None, collect_live=False):
     """phases: tuple of (n_steps, pool, hits) segments covering the scan.
 
     The live-state count and marker-hit volume both peak right after
     seeding (multiple kmer seed states per read) and decay to ~1 state
     per read within ~10 steps on SNP-dense graphs; later segments run
     with smaller pools/hit budgets, which the per-step gather volume is
-    proportional to."""
+    proportional to.
+
+    collect_live=True additionally returns per-phase live-state counts
+    (pool occupancy, for bench.py's roofline accounting)."""
     logs_p, logs_e = [], []
+    live = []
     log_base = 0
     offset = 0
     for n_steps, pool, hits in phases:
@@ -214,9 +218,14 @@ def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
         carry, (lp, le) = jax.lax.scan(step, carry, xs)
         logs_p.append(lp.reshape(-1))
         logs_e.append(le.reshape(-1))
+        if collect_live:
+            live.append(jnp.sum(carry[0] >= 0))
         log_base += n_steps * hits * di.n_outcomes
         offset += n_steps
-    return carry, (jnp.concatenate(logs_p), jnp.concatenate(logs_e))
+    logs = (jnp.concatenate(logs_p), jnp.concatenate(logs_e))
+    if collect_live:
+        return carry, logs, jnp.stack(live)
+    return carry, logs
 
 
 def _occ_rows_for(di: DeviceIndex, blocks, rank: str):
@@ -236,6 +245,16 @@ def _log_search_impl(di: DeviceIndex, reads_T, carry, phases, num_reads,
                      blocks=None, rank="dense"):
     return _log_search_phases(di, reads_T, carry, phases, num_reads,
                               occ_rows=_occ_rows_for(di, blocks, rank))
+
+
+@partial(jax.jit, static_argnames=("phases", "num_reads", "rank"))
+def _log_search_probe(di: DeviceIndex, reads_T, carry, phases, num_reads,
+                      blocks=None, rank="dense"):
+    """Scan variant returning per-phase live-state counts alongside the
+    final carry -- bench.py's pool-occupancy probe."""
+    return _log_search_phases(di, reads_T, carry, phases, num_reads,
+                              occ_rows=_occ_rows_for(di, blocks, rank),
+                              collect_live=True)
 
 
 @partial(jax.jit, static_argnames=("phases", "num_reads", "rank"))
