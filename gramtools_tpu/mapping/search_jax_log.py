@@ -403,6 +403,63 @@ def empty_log_carry(num_reads: int, cfg: LogConfig):
     )
 
 
+def _filter_buffer_rows(buffer, kmer_index, k, stats):
+    """Kmer-presence screen over both orientations of a read buffer.
+
+    Returns (results_skeleton, rows, rows_mat): rows is the list of
+    mappable (buffer_index, oriented_read) pairs; rows_mat is the
+    stacked row matrix when the equal-length fast path applied (else
+    None). Shared by LogBatchedEngine.scan_submit and the mesh engine
+    (parallel/mesh.py)."""
+    from ..common.seq import _COMPLEMENT_LUT, revcomp
+    from .quasimap import all_read_kmers_in_index
+
+    results = [[] for _ in buffer]
+    sizes = np.array([r.size for r in buffer], dtype=np.int64)
+    nz = np.flatnonzero(sizes > 0)
+    stats.all_reads_count += 2 * len(buffer)
+    stats.skipped_reads_count += 2 * int(len(buffer) - nz.size)
+    if nz.size == 0:
+        return results, [], None
+    matrix_filter = getattr(kmer_index, "batch_all_indexed_matrix", None)
+    equal_len = (sizes[nz] == sizes[nz[0]]).all()
+    rows_mat = None
+    if equal_len and matrix_filter is not None and sizes[nz[0]] >= k:
+        # equal-length fast path: one (2n, L) matrix, vectorised
+        # revcomp + filter, row views into the matrix afterwards
+        fwd = np.stack([buffer[i] for i in nz])
+        mat = np.empty((2 * nz.size, fwd.shape[1]), dtype=np.uint8)
+        mat[0::2] = fwd
+        mat[1::2] = _COMPLEMENT_LUT[fwd[:, ::-1]]
+        owners = np.repeat(nz, 2)
+        passed = matrix_filter(mat)
+        stats.missing_kmer_reads_count += int(np.count_nonzero(~passed))
+        hit = np.flatnonzero(passed)
+        rows = [(int(owners[j]), mat[j]) for j in hit]
+        rows_mat = mat[hit]
+    else:
+        oriented_all = []
+        owners = []
+        for i in nz:
+            read = buffer[i]
+            oriented_all.append(read)
+            oriented_all.append(revcomp(read))
+            owners.extend((i, i))
+        batch_filter = getattr(kmer_index, "batch_all_indexed", None)
+        if batch_filter is not None:
+            passed = batch_filter(oriented_all)
+        else:
+            passed = np.array([all_read_kmers_in_index(k, r, kmer_index)
+                               for r in oriented_all])
+        rows = []
+        for j, (i, oriented) in enumerate(zip(owners, oriented_all)):
+            if passed[j]:
+                rows.append((int(i), oriented))
+            else:
+                stats.missing_kmer_reads_count += 1
+    return results, rows, rows_mat
+
+
 class PathReplayer:
     """Reconstructs (traversed, traversing) for final states from the
     genealogy log + the seed paths, replaying jump-table ops root->leaf
@@ -606,63 +663,15 @@ class LogBatchedEngine:
         happen on device and only flags + loci triples come home."""
         import time
 
-        from ..common.seq import revcomp
-        from .quasimap import all_read_kmers_in_index
-
         t0 = time.perf_counter()
         k = kmer_size
         self._last_kmer_index = kmer_index
-        results = [[] for _ in buffer]
-
-        # batch kmer-presence screen over all orientations at once
-        from ..common.seq import _COMPLEMENT_LUT
-
-        sizes = np.array([r.size for r in buffer], dtype=np.int64)
-        nz = np.flatnonzero(sizes > 0)
-        stats.all_reads_count += 2 * len(buffer)
-        stats.skipped_reads_count += 2 * int(len(buffer) - nz.size)
-        if nz.size == 0:
-            return (results, [], None, None, set(), None, None)
-        matrix_filter = getattr(kmer_index, "batch_all_indexed_matrix", None)
-        equal_len = (sizes[nz] == sizes[nz[0]]).all()
-        rows_mat = None
-        if equal_len and matrix_filter is not None and sizes[nz[0]] >= k:
-            # equal-length fast path: one (2n, L) matrix, vectorised
-            # revcomp + filter, row views into the matrix afterwards
-            fwd = np.stack([buffer[i] for i in nz])
-            mat = np.empty((2 * nz.size, fwd.shape[1]), dtype=np.uint8)
-            mat[0::2] = fwd
-            mat[1::2] = _COMPLEMENT_LUT[fwd[:, ::-1]]
-            owners = np.repeat(nz, 2)
-            passed = matrix_filter(mat)
-            stats.missing_kmer_reads_count += int(np.count_nonzero(~passed))
-            hit = np.flatnonzero(passed)
-            rows = [(int(owners[j]), mat[j]) for j in hit]
-            rows_mat = mat[hit]
-        else:
-            oriented_all = []
-            owners = []
-            for i in nz:
-                read = buffer[i]
-                oriented_all.append(read)
-                oriented_all.append(revcomp(read))
-                owners.extend((i, i))
-            batch_filter = getattr(kmer_index, "batch_all_indexed", None)
-            if batch_filter is not None:
-                passed = batch_filter(oriented_all)
-            else:
-                passed = np.array([all_read_kmers_in_index(k, r, kmer_index)
-                                   for r in oriented_all])
-            rows = []
-            for j, (i, oriented) in enumerate(zip(owners, oriented_all)):
-                if passed[j]:
-                    rows.append((int(i), oriented))
-                else:
-                    stats.missing_kmer_reads_count += 1
-
-        t0 = self._tick("submit_filter", t0)
+        results, rows, rows_mat = _filter_buffer_rows(buffer, kmer_index, k,
+                                                      stats)
         if not rows:
             return (results, [], None, None, set(), None, None)
+
+        t0 = self._tick("submit_filter", t0)
 
         R = _row_capacity(len(rows))
         max_len = max(r.size for _, r in rows)

@@ -194,6 +194,174 @@ def make_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg,
     return run
 
 
+class MeshLogEngine:
+    """Data-parallel PRODUCTION mapping engine over a device mesh.
+
+    Drop-in for ``quasimap_reads(engine=...)`` via the ``search_buffer``
+    contract: each buffer's mappable (read, orientation) rows are
+    interleaved round-robin across the mesh's 'data' axis, every shard
+    runs the identical phased genealogy-log scan
+    (mapping/search_jax_log.py) on its row slice, and the per-shard
+    logs/carries come back sharded for the host replay. Selection +
+    coverage recording then run through the exact scalar recorder, whose
+    per-read seeded RNG (SURVEY §7.1 determinism) makes results
+    shard-count invariant by construction -- the multi-chip analogue of
+    the reference's OpenMP buffer loop (quasimap.cpp:90-117) with no
+    atomics.
+    """
+
+    def __init__(self, idx, kmer_size: int, mesh: Optional[Mesh] = None,
+                 cfg=None):
+        from ..mapping.jump_table import build_jump_table
+        from ..mapping.search_jax_log import LogConfig, PathReplayer
+
+        self.idx = idx
+        self.kmer_size = kmer_size
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = int(self.mesh.devices.size)
+        self.jt = build_jump_table(idx)
+        self.di = DeviceIndex.build(idx, self.jt)
+        self.cfg = cfg if cfg is not None else LogConfig()
+        self.replayer = PathReplayer(self.jt, self.di.n_outcomes)
+        self.host_fallbacks = 0
+        self.device_mapped = 0
+        self.device_retried = 0
+        self._run_cache: dict = {}
+
+    def _runner(self, R_shard: int, phases):
+        key = (R_shard, phases)
+        if key not in self._run_cache:
+            self._run_cache[key] = make_sharded_log_search(
+                self.mesh, self.di, self.cfg, R_shard, phases=phases)
+        return self._run_cache[key]
+
+    def search_buffer(self, buffer, kmer_index, kmer_size, stats):
+        from ..mapping.search import (handle_allele_encapsulated_states,
+                                      search_read_backwards)
+        from ..mapping.search_jax import _round_up
+        from ..mapping.search_jax_log import (
+            _filter_buffer_rows, _row_capacity, auto_phases)
+
+        k = kmer_size
+        results, rows, rows_mat = _filter_buffer_rows(buffer, kmer_index, k,
+                                                      stats)
+        if not rows:
+            return results
+        n = len(rows)
+        S = self.n_shards
+        # row r -> shard r % S, local column r // S (round-robin keeps
+        # shards balanced when n is not a multiple of S)
+        R_shard = _row_capacity(-(-n // S))
+        R_total = R_shard * S
+        max_len = max(r.size for _, r in rows)
+        steps = _round_up(max(max_len - k, 0), 16)
+
+        # vectorised seeding (the array-backed kmer index is required --
+        # the oracle dict index has no seed_batch)
+        if rows_mat is not None:
+            last_kmers = rows_mat[:, rows_mat.shape[1] - k:]
+        else:
+            last_kmers = np.stack([r[r.size - k:] for _, r in rows])
+        owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = \
+            kmer_index.seed_batch(last_kmers)
+
+        # per-shard seed placement
+        shard_of = owner % S
+        counts = np.bincount(shard_of, minlength=S)
+        phases = auto_phases(steps, R_shard, self.cfg,
+                             n_seed_states=int(counts.max(initial=0)))
+        pool0 = phases[0][1]
+        host_rows = set()
+        read_id = np.full(S * pool0, -1, dtype=np.int32)
+        lo = np.zeros(S * pool0, dtype=np.int32)
+        hi = np.zeros(S * pool0, dtype=np.int32)
+        pref = np.zeros(S * pool0, dtype=np.int32)
+        overflow = np.zeros(S * R_shard, dtype=bool)
+        cursors = np.zeros(S, dtype=np.int64)
+        for g in range(owner.size):
+            row = int(owner[g])
+            s = row % S
+            if cursors[s] >= pool0:
+                host_rows.add(row)
+                continue
+            slot = s * pool0 + cursors[s]
+            read_id[slot] = row // S          # local row id in shard
+            lo[slot] = s_lo[g]
+            hi[slot] = s_hi[g]
+            pref[slot] = -(g + 1)             # global seed index
+            cursors[s] += 1
+        seeded = set(int(r) for r in np.unique(owner))
+        for row in range(n):
+            if row not in seeded:
+                host_rows.add(row)
+
+        reads_T = np.zeros((steps, R_total), dtype=np.int32)
+        for row, (i, read) in enumerate(rows):
+            col = (row % S) * R_shard + row // S
+            body = read[: read.size - k][::-1]
+            reads_T[: body.size, col] = body
+
+        run = self._runner(R_shard, tuple(phases))
+        carry = (read_id, lo, hi, pref, overflow)
+        carry_f, (lp, le) = run(jnp.asarray(reads_T), jax.device_put(carry))
+        f_rid, f_lo, f_hi, f_pref, ovf = (np.asarray(a) for a in carry_f)
+        lp = np.asarray(lp)
+        le = np.asarray(le)
+        # per-shard log records concatenate in shard order: globalise
+        # every non-negative parent pointer by its shard's log offset
+        # (negative = global seed index already)
+        L = lp.size // S
+        lp = lp.reshape(S, L)
+        lp = np.where(lp >= 0, lp + np.arange(S, dtype=lp.dtype)[:, None] * L,
+                      lp).reshape(-1)
+        pool_f = f_rid.size // S
+
+        def seed_paths(gi):
+            nt, ni = int(s_nt[gi]), int(s_ni[gi])
+            return (tuple(map(tuple, s_trav[gi, :nt].tolist())),
+                    tuple(map(tuple, s_ing[gi, :ni].tolist())))
+
+        per_row_states: dict = {}
+        for s in range(S):
+            seg = slice(s * pool_f, (s + 1) * pool_f)
+            rid_s = f_rid[seg]
+            for j in np.flatnonzero(rid_s >= 0):
+                row = int(rid_s[j]) * S + s
+                if row >= n:
+                    continue
+                p = int(f_pref[seg][j])
+                if p >= 0:
+                    p += s * L
+                trav, ing = self.replayer.replay(p, lp, le, seed_paths)
+                from ..mapping.search import SearchState
+                state = SearchState(int(f_lo[seg][j]), int(f_hi[seg][j]),
+                                    trav, ing)
+                per_row_states.setdefault(row, []).append(state)
+
+        ovf_rows = np.zeros(n, dtype=bool)
+        for s in range(S):
+            seg = ovf[s * R_shard : (s + 1) * R_shard]
+            for local in np.flatnonzero(seg):
+                row = int(local) * S + s
+                if row < n:
+                    ovf_rows[row] = True
+
+        for row, (i, read) in enumerate(rows):
+            if row in host_rows or ovf_rows[row]:
+                self.host_fallbacks += 1
+                seed = read[read.size - k:].astype(np.uint8).tobytes()
+                seed_states = kmer_index.get(seed, [])
+                states = (search_read_backwards(read, seed_states, k,
+                                                self.idx)
+                          if seed_states else [])
+            else:
+                self.device_mapped += 1
+                states = handle_allele_encapsulated_states(
+                    per_row_states.get(row, []), self.idx)
+            results[i].append((states, int(read.size)))
+        return results
+
+
 def run_sharded_flat_quasimap(mesh: Mesh, di: DeviceIndex,
                               reads: "list[np.ndarray]", num_sites: int,
                               max_alleles: int):
