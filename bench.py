@@ -304,6 +304,9 @@ def main():
 
     # ---- end-to-end device mapping path -------------------------------
     if not SKIP_E2E:
+        if os.environ.get("BENCH_BUFFER"):
+            # throughput-mode buffer size (see quasimap.READS_BUFFER_SIZE)
+            os.environ["GRAMTOOLS_TPU_BUFFER"] = os.environ["BENCH_BUFFER"]
         os.environ.setdefault("GRAMTOOLS_TPU_DEVICE_RECORD", "1")
         os.environ["GRAMTOOLS_TPU_TIMERS"] = "1"
         if RANK != "dense":

@@ -12,6 +12,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, Iterable, List, Optional
 
+import os
+
 import numpy as np
 
 from ..common.rng import RandomInclusiveInt, first_raw_draws
@@ -20,7 +22,13 @@ from ..index.kmer_index import KmerIndex
 from .coverage import Coverage, record_search_states
 from .search import PrgIndex, SearchState, search_read_backwards
 
-READS_BUFFER_SIZE = 5000  # quasimap.cpp:128
+# Buffer size 5000 mirrors quasimap.cpp:128 AND pins the per-buffer
+# selection-seed RNG stream to the reference's (one draw per slot,
+# quasimap.cpp:136-137). Overriding via GRAMTOOLS_TPU_BUFFER keeps
+# results self-consistent and shard-invariant but consumes the RNG in a
+# different order than the reference binary would; larger buffers
+# amortise the device scan's per-step latency (throughput mode).
+READS_BUFFER_SIZE = int(os.environ.get("GRAMTOOLS_TPU_BUFFER", "5000"))
 
 
 @dataclass

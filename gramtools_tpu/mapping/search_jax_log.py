@@ -204,6 +204,10 @@ def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
 
     collect_live=True additionally returns per-phase live-state counts
     (pool occupancy, for bench.py's roofline accounting)."""
+    # reads ship as uint8 (4x less host->device traffic than int32 --
+    # the read matrix is the largest per-buffer transfer); widen on
+    # device where the comparisons need int
+    reads_T = reads_T.astype(jnp.int32)
     logs_p, logs_e = [], []
     live = []
     log_base = 0
@@ -678,7 +682,7 @@ class LogBatchedEngine:
         steps = _round_up(max(max_len - k, 0), 16)
         carry = empty_log_carry(R, self.cfg)
         read_id, lo, hi, pref, _ = carry
-        reads_T = np.zeros((steps, R), dtype=np.int32)
+        reads_T = np.zeros((steps, R), dtype=np.uint8)
         host_rows = set()
 
         seed_fn = getattr(kmer_index, "seed_batch", None)

@@ -295,7 +295,7 @@ class MeshLogEngine:
             if row not in seeded:
                 host_rows.add(row)
 
-        reads_T = np.zeros((steps, R_total), dtype=np.int32)
+        reads_T = np.zeros((steps, R_total), dtype=np.uint8)
         for row, (i, read) in enumerate(rows):
             col = (row % S) * R_shard + row // S
             body = read[: read.size - k][::-1]
