@@ -42,7 +42,11 @@ KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4096"))       # scan-only batch
 BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
 E2E_READS = int(os.environ.get("BENCH_E2E_READS", "20000"))
-WARM_READS = int(os.environ.get("BENCH_WARM_READS", "5000"))
+# warmup covers TWO buffers so the adaptive hit-budget step-up (if any)
+# and the retry-pass shape both compile before the timed run; the
+# engine's sticky shape ratchets then guarantee zero steady-state
+# recompiles
+WARM_READS = int(os.environ.get("BENCH_WARM_READS", "0"))
 CPP_THREADS = int(os.environ.get("BENCH_CPP_THREADS", "0"))  # 0 = all cores
 PROFILE = os.environ.get("BENCH_PROFILE", "snp")         # snp | mixed
 RANK = os.environ.get("BENCH_RANK",
@@ -315,10 +319,12 @@ def main():
         from gramtools_tpu.mapping.search_jax_log import LogBatchedEngine
 
         engine = LogBatchedEngine(idx, KMER_SIZE)
+        from gramtools_tpu.mapping.quasimap import READS_BUFFER_SIZE
+        warm_reads = WARM_READS or 2 * READS_BUFFER_SIZE
         with tempfile.TemporaryDirectory() as td:
             warm_fq = os.path.join(td, "warm.fastq")
             main_fq = os.path.join(td, "reads.fastq")
-            write_fastq(warm_fq, sample_reads(rng, paths, WARM_READS,
+            write_fastq(warm_fq, sample_reads(rng, paths, warm_reads,
                                               READ_LEN))
             write_fastq(main_fq, sample_reads(rng, paths, E2E_READS,
                                               READ_LEN))
@@ -326,14 +332,17 @@ def main():
             quasimap_reads([warm_fq], kmer_index, idx, KMER_SIZE, seed=42,
                            engine=engine)
             warm_s = time.time() - t_w
-            print(f"# e2e warmup ({WARM_READS} reads, incl. compile): "
-                  f"{warm_s:.1f}s", file=sys.stderr)
+            print(f"# e2e warmup ({warm_reads} reads, incl. compile): "
+                  f"{warm_s:.1f}s; shapes={len(engine.dispatch_shapes)}",
+                  file=sys.stderr)
             engine.timers.clear()
+            warm_shapes = len(engine.dispatch_shapes)
             t_e = time.time()
             stats, coverage = quasimap_reads([main_fq], kmer_index, idx,
                                              KMER_SIZE, seed=42,
                                              engine=engine)
             e2e_s = time.time() - t_e
+            new_shapes = len(engine.dispatch_shapes) - warm_shapes
         e2e_rps = E2E_READS / e2e_s
         out["value"] = round(e2e_rps, 1)
         out["e2e_seconds"] = round(e2e_s, 3)
@@ -343,10 +352,11 @@ def main():
         out["device_retried"] = engine.device_retried
         out["stage_seconds"] = {k: round(v, 3)
                                 for k, v in sorted(engine.timers.items())}
+        out["steady_state_new_shapes"] = new_shapes  # 0 = no recompiles
         print(f"# e2e: {e2e_rps:.0f} reads/s "
               f"({engine.device_mapped} dev, {engine.host_fallbacks} host, "
-              f"{engine.device_retried} retried); stages: "
-              f"{out['stage_seconds']}", file=sys.stderr)
+              f"{engine.device_retried} retried, {new_shapes} new shapes); "
+              f"stages: {out['stage_seconds']}", file=sys.stderr)
 
     # ---- scan-only rate + occupancy + roofline ------------------------
     import jax.numpy as jnp

@@ -110,43 +110,56 @@ def rebase_vcf(disco_paths, check_records: bool = True) -> List[VcfRecord]:
 
 def rebase_vcf_record(record: VcfRecord, chrom: str,
                       region_searcher: SearchableSeqRegionsMap) -> VcfRecord:
-    """Coordinate/sequence rebasing algebra (discover.py:132-198)."""
-    cur_region_index = region_searcher.bisect(chrom, record.pos,
-                                              BisectTarget.PERS_REF)
-    cur_region = region_searcher.get_region(chrom, cur_region_index)
+    """Rebase one discovered record from personalised-reference into
+    base-reference coordinates.
 
-    new_ref_seq = ""
-    new_alt_seq = record.alts[0]
-    cur_pers_ref_pos = record.pos
-    pers_ref_end_pos = cur_pers_ref_pos + len(record.ref) - 1
-    new_pos = cur_region.base_ref_start
+    Span algebra over the columnar region map (behavioural contract:
+    the reference's discover rebasing, discover.py:132-198; pinned by
+    tests/test_discover_rebase.py and the IT4 fixture). The record's
+    pers-ref footprint ``[pos, pos+len(ref)-1]`` selects a run of map
+    regions via two vectorised bisects; then
 
-    num_bases_past_first_region = cur_pers_ref_pos - cur_region.pers_ref_start
-    if num_bases_past_first_region > 0:
-        if cur_region.is_variant_region:
-            new_alt_seq = (cur_region.vcf_record_alt[:num_bases_past_first_region]
-                           + new_alt_seq)
+      * the output POS is the first region's base-ref start, advanced by
+        the footprint's lead offset when that region is invariant;
+      * the output REF concatenates, region by region, the full base-ref
+        REF of variant regions and the footprint's own slice of
+        invariant regions;
+      * the output ALT is the called ALT, extended with the unconsumed
+        head of the first region's alt and tail of the last region's alt
+        (variant regions substitute whole alleles, so a partial overlap
+        must carry the rest of the allele through).
+    """
+    alt = record.alts[0]
+    pos = record.pos
+    end = pos + len(record.ref) - 1
+    first_i, last_i = (int(i) for i in region_searcher.bisect_many(
+        chrom, (pos, end), BisectTarget.PERS_REF))
+
+    first = region_searcher.get_region(chrom, first_i)
+    lead = pos - first.pers_ref_start
+    new_pos = first.base_ref_start
+    if first.is_variant_region:
+        alt = first.vcf_record_alt[:lead] + alt
+    else:
+        new_pos += lead
+
+    last = region_searcher.get_region(chrom, last_i)
+    tail = (last.pers_ref_start + last.length - 1) - end
+    if last.is_variant_region and tail > 0:
+        alt += last.vcf_record_alt[last.length - tail:]
+
+    parts = []
+    for i in range(first_i, last_i + 1):
+        region = region_searcher.get_region(chrom, i)
+        if region.is_variant_region:
+            parts.append(region.vcf_record_ref)
         else:
-            new_pos += num_bases_past_first_region
-
-    while cur_pers_ref_pos <= pers_ref_end_pos:
-        cur_region = region_searcher.get_region(chrom, cur_region_index)
-        cur_region_end = cur_region.pers_ref_start + cur_region.length - 1
-        num_bases_past_last_region = max(cur_region_end - pers_ref_end_pos, 0)
-        if cur_region.is_variant_region:
-            new_ref_seq += cur_region.vcf_record_ref
-        else:
-            start_offset = cur_pers_ref_pos - record.pos
-            end_offset = cur_region_end - record.pos - num_bases_past_last_region
-            new_ref_seq += record.ref[start_offset : end_offset + 1]
-        if num_bases_past_last_region > 0 and cur_region.is_variant_region:
-            offset = cur_region.length - num_bases_past_last_region
-            new_alt_seq = new_alt_seq + cur_region.vcf_record_alt[offset:]
-        cur_pers_ref_pos = cur_region_end + 1
-        cur_region_index += 1
+            lo = max(pos, region.pers_ref_start)
+            hi = min(end, region.pers_ref_start + region.length - 1)
+            parts.append(record.ref[lo - pos : hi - pos + 1])
 
     from dataclasses import replace
-    return replace(record, pos=new_pos, ref=new_ref_seq, alts=(new_alt_seq,))
+    return replace(record, pos=new_pos, ref="".join(parts), alts=(alt,))
 
 
 def _load_contig_sizes_from_vcf(vcf_fname) -> Dict[str, int]:

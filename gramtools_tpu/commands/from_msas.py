@@ -157,62 +157,139 @@ class PRGAggregationError(Exception):
     pass
 
 
-class Record:
-    def __init__(self, translation: int, count: int):
-        self.translation = translation
-        self.count = count
-
-
 class PRGAggregator:
-    """Rescales site markers across region PRGs to be globally unique
-    (from_msas.py:165-230, ported exactly incl. legacy odd-end support)."""
+    """Renumbers site markers across region PRGs into one global,
+    collision-free namespace.
+
+    Marker algebra (capability parity with the reference's aggregation
+    step in its MSA build path, behaviour pinned by tests): each region
+    has its own local marker namespace. An odd marker allocates a fresh
+    global site number at its first appearance and maps to the matching
+    global even marker at its second (legacy PRGs close sites with the
+    odd marker); a third appearance is an error. An even marker maps to
+    global-site + 1 and is only legal after its odd partner. Global site
+    numbers are handed out in stream order, two apart, starting at 5.
+
+    Two entry points: scalar ``translate`` (one marker at a time) and
+    the vectorised ``renumber_region`` (a whole region's int array in
+    one numpy pass) -- both maintain the same per-region tables so they
+    can be mixed."""
 
     def __init__(self):
-        self.translations: Dict[str, Dict[int, Record]] = {}
+        # per region: site(odd) local marker -> [global odd marker, #seen]
+        self._tables: Dict[str, Dict[int, List[int]]] = {}
         self.next_allocated = 5
 
-    def translate(self, ID: str, marker: int) -> int:
-        if ID not in self.translations:
-            self.translations[ID] = {}
+    def _table(self, region_id: str) -> Dict[int, List[int]]:
+        return self._tables.setdefault(region_id, {})
+
+    def translate(self, region_id: str, marker: int) -> int:
+        table = self._table(region_id)
         if marker <= 4:
-            raise PRGAggregationError(f"Marker {marker} is not >4")
-        local_table = self.translations[ID]
-        if marker % 2 == 0:
-            site_id = marker - 1
-            if site_id not in local_table:
+            raise PRGAggregationError(
+                f"{marker} is a sequence value, not a variant marker")
+        site, is_even = (marker - 1, True) if marker % 2 == 0 \
+            else (marker, False)
+        entry = table.get(site)
+        if is_even:
+            if entry is None:
                 raise PRGAggregationError(
-                    f"Error: {marker}'s site number {marker - 1} has never "
-                    "been seen")
-            return local_table[site_id].translation + 1
-        if marker in local_table:
-            record = local_table[marker]
-            record.count += 1
-            if record.count > 2:
+                    f"allele marker {marker} appears before site marker "
+                    f"{site} in region {region_id}")
+            return entry[0] + 1
+        if entry is None:
+            table[site] = [self.next_allocated, 1]
+            self.next_allocated += 2
+            return table[site][0]
+        entry[1] += 1
+        if entry[1] > 2:
+            raise PRGAggregationError(
+                f"site marker {marker} appears more than twice in region "
+                f"{region_id}")
+        return entry[0] + 1  # legacy close: second odd becomes even
+
+    def renumber_region(self, region_id: str, ints: np.ndarray) -> np.ndarray:
+        """Vectorised translate of one region PRG (int64 in/out).
+
+        Equivalent to mapping ``translate`` over every marker of the
+        array in order, but as array passes: group odd occurrences by
+        value to rank them (1st vs 2nd vs error), allocate global sites
+        in first-appearance order, and join even markers against their
+        odd partner's allocation with a stream-order legality check."""
+        ints = np.asarray(ints, dtype=np.int64)
+        if ints.size and ints.min() <= 0:
+            raise ValueError(
+                f"PRG marker {int(ints.min())} should be > 0")
+        table = self._table(region_id)
+        if table:
+            # region already partially translated via the scalar path:
+            # keep one source of truth
+            return np.array([v if v <= 4 else self.translate(region_id, v)
+                             for v in ints.tolist()], dtype=np.int64)
+        out = ints.copy()
+        mpos = np.flatnonzero(ints > 4)
+        if mpos.size == 0:
+            return out
+        vals = ints[mpos]
+        odd = (vals % 2) == 1
+        odd_vals = vals[odd]
+        odd_stream = np.flatnonzero(odd)          # index into vals
+        uniq, first_in_odd, counts = np.unique(
+            odd_vals, return_index=True, return_counts=True)
+        if np.any(counts > 2):
+            bad = int(uniq[np.argmax(counts > 2)])
+            raise PRGAggregationError(
+                f"site marker {bad} appears more than twice in region "
+                f"{region_id}")
+        # global site numbers in first-appearance order
+        appear_order = np.argsort(first_in_odd, kind="stable")
+        g_of_uniq = np.empty(uniq.size, dtype=np.int64)
+        g_of_uniq[appear_order] = self.next_allocated + 2 * np.arange(
+            uniq.size, dtype=np.int64)
+        self.next_allocated += 2 * uniq.size
+
+        # odd occurrences: rank within their value group (0 = open site,
+        # 1 = legacy close -> even)
+        by_val = np.argsort(odd_vals, kind="stable")
+        grp_new = np.ones(odd_vals.size, dtype=bool)
+        grp_new[1:] = odd_vals[by_val][1:] != odd_vals[by_val][:-1]
+        grp_first = np.maximum.accumulate(
+            np.where(grp_new, np.arange(odd_vals.size), 0))
+        rank = np.empty(odd_vals.size, dtype=np.int64)
+        rank[by_val] = np.arange(odd_vals.size) - grp_first
+        g_odd = g_of_uniq[np.searchsorted(uniq, odd_vals)]
+        out[mpos[odd_stream]] = g_odd + (rank > 0)
+
+        # even occurrences: must follow their odd partner in the stream
+        even_stream = np.flatnonzero(~odd)
+        if even_stream.size:
+            keys = vals[even_stream] - 1
+            k_idx = np.searchsorted(uniq, keys)
+            known = (k_idx < uniq.size) & (uniq[np.minimum(
+                k_idx, uniq.size - 1)] == keys)
+            first_stream = odd_stream[first_in_odd]   # index into vals
+            early = known & (even_stream < first_stream[np.minimum(
+                k_idx, uniq.size - 1)])
+            if np.any(~known | early):
+                bad = int(keys[np.argmax(~known | early)]) + 1
                 raise PRGAggregationError(
-                    f"Error: {marker} site number present >2 times in local "
-                    f"PRG {ID}")
-            # legacy format: ending odd marker becomes even
-            return local_table[marker].translation + 1
-        local_table[marker] = Record(self.next_allocated, 1)
-        self.next_allocated += 2
-        return local_table[marker].translation
+                    f"allele marker {bad} appears before site marker "
+                    f"{bad - 1} in region {region_id}")
+            out[mpos[even_stream]] = g_of_uniq[k_idx] + 1
+        # commit the per-region table so later scalar calls stay coherent
+        for j in range(uniq.size):
+            table[int(uniq[j])] = [int(g_of_uniq[j]), int(counts[j])]
+        return out
 
 
 def get_aggregated_prgs(agg: PRGAggregator,
                         intervals: List[BedInterval]) -> List[int]:
-    """from_msas.py:233-253."""
+    """Concatenate region PRGs under the aggregator's global marker
+    namespace (one vectorised renumber pass per region)."""
     out: List[int] = []
     for iv in intervals:
-        prg_name = Path(iv.name).stem
         ints = np.fromfile(iv.name, dtype="<u4")
-        for v in ints:
-            v = int(v)
-            if v <= 0:
-                raise ValueError(f"PRG marker {v} should be > 0")
-            if v <= 4:
-                out.append(v)
-            else:
-                out.append(agg.translate(prg_name, v))
+        out.extend(agg.renumber_region(Path(iv.name).stem, ints).tolist())
     log.info("Total length of built prg: %d", len(out))
     log.info("Total number of sites: %d", (agg.next_allocated - 3) // 2 - 1)
     return out

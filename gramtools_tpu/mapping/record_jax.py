@@ -56,14 +56,28 @@ from .jump_table import OP_ENTER, OP_EXIT
 from .search import PrgIndex
 from .search_jax import DeviceIndex
 
-# static budgets (overflow -> per-row host fallback)
+# static budgets (overflow -> per-row host fallback). Per-state caps:
 MAX_CHAIN = 32       # genealogy chain depth (events per state)
 TCAP = 16            # traversed/traversing loci per state
-ECAP = 4096          # encapsulated-split occurrence expansion slots
-TRCAP = 4096         # traversing-state occurrence expansion slots
 KCAP = 8             # base (level-1) sites per state
-WCAP = 8192          # per-base walk lanes (selected-state occurrences)
-EMITCAP = 32768      # per-base walk emissions per buffer
+# Per-buffer expansion budgets scale with the row count (R): fixed
+# budgets worked at 5,000-read buffers but would mass-spill to host
+# fallback at throughput-mode buffer sizes. R is a static (sticky)
+# shape, so these stay compile-time constants.
+ECAP_BASE = 4096     # encapsulated-split occurrence expansion slots
+TRCAP_BASE = 4096    # traversing-state occurrence expansion slots
+WCAP_BASE = 8192     # per-base walk lanes (selected-state occurrences)
+EMITCAP_BASE = 32768  # per-base walk emissions per buffer
+
+
+def buffer_caps(R: int):
+    """(ecap, trcap, wcap, emitcap) for an R-row buffer: the round-2
+    constants at R<=10240, scaled linearly above."""
+    s = max(R, 10240)
+    return (max(ECAP_BASE, (ECAP_BASE * s) // 10240),
+            max(TRCAP_BASE, (TRCAP_BASE * s) // 10240),
+            max(WCAP_BASE, (WCAP_BASE * s) // 10240),
+            max(EMITCAP_BASE, (EMITCAP_BASE * s) // 10240))
 
 _URNG_RANGE = (1 << 32) - 1
 _PAD = -1            # key padding: sorts before any site marker (>= 5)
@@ -283,6 +297,7 @@ def select_and_record_device(
         trip_cap = 16 * row_ok.shape[0]
     N = f_rid.shape[0]
     R = row_ok.shape[0]
+    ecap, trcap, wcap, emitcap = buffer_caps(R)
     ar_n = jnp.arange(N)
     rid_c = jnp.clip(f_rid, 0, R - 1)
     alive = (f_rid >= 0) & row_ok[rid_c]
@@ -293,7 +308,7 @@ def select_and_record_device(
     # ---- encapsulated split of no-path states ------------------------------
     np_mask = alive & ~has_path
     widths = jnp.where(np_mask, f_hi - f_lo + 1, 0).astype(jnp.int32)
-    e_item, e_off, e_valid, e_spill = _expand_budget(widths, ECAP)
+    e_item, e_off, e_valid, e_spill = _expand_budget(widths, ecap)
     fallback |= _flag_rows(R, e_spill, rid_c)
     occ_sa = jnp.clip(f_lo[e_item] + e_off, 0, di.size - 1)
     occ_node = rt.ra_node[jnp.clip(di.sa[occ_sa], 0,
@@ -316,12 +331,12 @@ def select_and_record_device(
     enc_start = enc & ~prev_same
     nxt_same = jnp.concatenate([prev_same[1:], jnp.zeros(1, bool)])
     run_first = _segment_first(enc_start | ~enc)
-    enc_hi = jnp.zeros(ECAP + 1, jnp.int32).at[
-        jnp.where(enc & ~nxt_same, run_first, ECAP)].set(
-        occ_sa.astype(jnp.int32), mode="drop")[:ECAP]
+    enc_hi = jnp.zeros(ecap + 1, jnp.int32).at[
+        jnp.where(enc & ~nxt_same, run_first, ecap)].set(
+        occ_sa.astype(jnp.int32), mode="drop")[:ecap]
 
-    # ---- unified state table: N pool states then ECAP enc lanes ------------
-    NS = N + ECAP
+    # ---- unified state table: N pool states then ecap enc lanes ------------
+    NS = N + ecap
     ps_row = jnp.concatenate([rid_c, occ_row])
     ps_live = jnp.concatenate([alive & has_path, enc_start])
     ps_lo = jnp.concatenate([f_lo.astype(jnp.int32),
@@ -331,21 +346,21 @@ def select_and_record_device(
         jnp.where(alive & has_path, n_trav, 0),
         jnp.where(enc_start, 1, 0).astype(n_trav.dtype)])
     ps_ning = jnp.concatenate([jnp.where(alive & has_path, n_ing, 0),
-                               jnp.zeros(ECAP, n_ing.dtype)])
-    enc_trav = jnp.zeros((ECAP, TCAP, 2), jnp.int32)
+                               jnp.zeros(ecap, n_ing.dtype)])
+    enc_trav = jnp.zeros((ecap, TCAP, 2), jnp.int32)
     enc_trav = enc_trav.at[:, 0, 0].set(jnp.where(enc_start, occ_site, 0))
     enc_trav = enc_trav.at[:, 0, 1].set(jnp.where(enc_start, occ_allele, 0))
     ps_trav = jnp.concatenate([trav, enc_trav], axis=0)
     last_i = jnp.clip(n_ing - 1, 0, TCAP - 1)
     ing_parent = jnp.concatenate([
         jnp.where(n_ing > 0, ing[ar_n, last_i, 0], 0),
-        jnp.zeros(ECAP, jnp.int32)])
+        jnp.zeros(ecap, jnp.int32)])
 
     # ---- site-uniqueness (duplicate site within one state's own path) ------
     slot = jnp.arange(TCAP, dtype=jnp.int32)[None, :]
     own_t = jnp.where(slot < ps_ntrav[:, None], ps_trav[:, :, 0],
                       jnp.int32(2 ** 28) + slot)
-    ing_pad = jnp.concatenate([ing, jnp.zeros((ECAP, TCAP, 2), jnp.int32)],
+    ing_pad = jnp.concatenate([ing, jnp.zeros((ecap, TCAP, 2), jnp.int32)],
                               axis=0)
     own_i = jnp.where(slot < ps_ning[:, None], ing_pad[:, :, 0],
                       jnp.int32(2 ** 28) + TCAP + slot)
@@ -362,7 +377,7 @@ def select_and_record_device(
 
     tr_w = jnp.where(ps_live & (ps_ning > 0), ps_hi - ps_lo + 1, 0)
     tr_item, tr_off, tr_valid, tr_spill = _expand_budget(
-        tr_w.astype(jnp.int32), TRCAP)
+        tr_w.astype(jnp.int32), trcap)
     fallback |= _flag_rows(R, tr_spill, ps_row)
     tr_sa = jnp.clip(ps_lo[tr_item] + tr_off, 0, di.size - 1)
     tr_node = rt.ra_node[jnp.clip(di.sa[tr_sa], 0, rt.ra_node.shape[0] - 1)]
@@ -475,7 +490,7 @@ def select_and_record_device(
     # ---- per-base coverage (may add fallback rows; do it before triples) ---
     cov_diff, fallback = _record_per_base_device(
         di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav, st_selected,
-        row_len, fallback, cov_diff)
+        row_len, fallback, cov_diff, wcap, emitcap)
 
     # ---- triples of the chosen classes, compact prefix of the sort ----------
     # fallback only grew since the preliminary check, so the valid prefix
@@ -496,7 +511,8 @@ def select_and_record_device(
 
 
 def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
-                            st_selected, row_len, fallback, cov_diff):
+                            st_selected, row_len, fallback, cov_diff,
+                            wcap=WCAP_BASE, emitcap=EMITCAP_BASE):
     """Device twin of coverage_vec._run_walks + envelope + apply.
 
     Walk lanes = occurrence expansion of selected states; emissions
@@ -505,7 +521,7 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     array. Returns (cov_diff, fallback-with-additions)."""
     R = row_len.shape[0]
     w = jnp.where(st_selected, ps_hi - ps_lo + 1, 0).astype(jnp.int32)
-    w_item, w_off, w_valid, w_spill = _expand_budget(w, WCAP)
+    w_item, w_off, w_valid, w_spill = _expand_budget(w, wcap)
     fallback = fallback | _flag_rows(R, w_spill, ps_row)
 
     occ_sa = jnp.clip(ps_lo[w_item] + w_off, 0, di.size - 1)
@@ -516,8 +532,8 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     remaining0 = row_len[read_of].astype(jnp.int32)
     full = w_off == 0
     trav_idx0 = ps_ntrav[w_item].astype(jnp.int32)
-    trav_w = ps_trav[w_item]        # (WCAP, TCAP, 2)
-    ar_w = jnp.arange(WCAP)
+    trav_w = ps_trav[w_item]        # (wcap, TCAP, 2)
+    ar_w = jnp.arange(wcap)
 
     def cond(state):
         return jnp.any(state[0])
@@ -551,32 +567,32 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
 
         emit = consume & has_seq & rt.nt_in_bubble[cur]
         pos_in = jnp.cumsum(emit.astype(jnp.int32)) - 1
-        dest = jnp.where(emit, cursor + pos_in, EMITCAP)
+        dest = jnp.where(emit, cursor + pos_in, emitcap)
         n_emit = jnp.sum(emit.astype(jnp.int32))
-        spill = spill | ((cursor + n_emit) > EMITCAP)
+        spill = spill | ((cursor + n_emit) > emitcap)
         e_row = e_row.at[dest].set(read_of, mode="drop")
         e_node = e_node.at[dest].set(cur, mode="drop")
         e_start = e_start.at[dest].set(start, mode="drop")
         e_end = e_end.at[dest].set(end, mode="drop")
-        cursor = jnp.minimum(cursor + n_emit, EMITCAP)
+        cursor = jnp.minimum(cursor + n_emit, emitcap)
 
         returned_now = jnp.where(first_iter,
                                  consume & rt.nt_in_bubble[cur],
                                  move & (rt.nt_in_bubble[cur]
                                          | is_bubble_entry))
         active = active & ~(~full & returned_now)
-        return (active, jnp.zeros(WCAP, bool), cur, start, remaining,
+        return (active, jnp.zeros(wcap, bool), cur, start, remaining,
                 trav_idx, e_row, e_node, e_start, e_end, cursor, spill)
 
-    init = (w_valid, jnp.ones(WCAP, bool), cur0, start0, remaining0,
-            trav_idx0, jnp.full(EMITCAP, _BIG), jnp.zeros(EMITCAP, jnp.int32),
-            jnp.zeros(EMITCAP, jnp.int32), jnp.zeros(EMITCAP, jnp.int32),
+    init = (w_valid, jnp.ones(wcap, bool), cur0, start0, remaining0,
+            trav_idx0, jnp.full(emitcap, _BIG), jnp.zeros(emitcap, jnp.int32),
+            jnp.zeros(emitcap, jnp.int32), jnp.zeros(emitcap, jnp.int32),
             jnp.int32(0), jnp.array(False))
     (_, _, _, _, _, _, e_row, e_node, e_start, e_end, _, spill
      ) = jax.lax.while_loop(cond, body, init)
 
     # emission spill: capacity bug-out -- every read with a selected state
-    # falls back (expected never at EMITCAP=32k; a read emits ~1 node per
+    # falls back (expected never at the scaled emitcap; ~1 node per
     # crossed site)
     sel_rows = _flag_rows(R, st_selected, ps_row)
     fallback = fallback | jnp.where(spill, sel_rows, jnp.zeros(R, bool))
@@ -586,17 +602,17 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     valid_e = k_row < _BIG
     gstart = _neighbor_diff(k_row, k_node)
     first_of = _segment_first(gstart)
-    seg_min = jnp.full(EMITCAP + 1, _BIG).at[
-        jnp.where(valid_e, first_of, EMITCAP)].min(s_s, mode="drop")
-    seg_max = jnp.full(EMITCAP + 1, jnp.int32(-1)).at[
-        jnp.where(valid_e, first_of, EMITCAP)].max(en_s, mode="drop")
+    seg_min = jnp.full(emitcap + 1, _BIG).at[
+        jnp.where(valid_e, first_of, emitcap)].min(s_s, mode="drop")
+    seg_max = jnp.full(emitcap + 1, jnp.int32(-1)).at[
+        jnp.where(valid_e, first_of, emitcap)].max(en_s, mode="drop")
     is_rep = gstart & valid_e
     rep_node = jnp.clip(k_node, 0, rt.n_nodes - 1)
     rep_row = jnp.clip(k_row, 0, R - 1)
     keep = is_rep & ~fallback[rep_row]
     covs = rt.nt_cov_start[rep_node]
     keep &= covs >= 0
-    ar_e = jnp.arange(EMITCAP)
+    ar_e = jnp.arange(emitcap)
     lo_flat = covs + seg_min[ar_e]
     hi_flat = covs + seg_max[ar_e] + 1
     # diff-array boundary adds; slot cov_size doubles as the drop target

@@ -639,6 +639,21 @@ class LogBatchedEngine:
         import collections
         self.timers = collections.defaultdict(float)
         self._timing = os.environ.get("GRAMTOOLS_TPU_TIMERS") == "1"
+        # sticky shape ratchets: every dispatch reuses the LARGEST shape
+        # seen so far (extra rows/states are padding), so steady state
+        # recompiles zero times. Each distinct dispatched shape costs a
+        # minutes-long XLA compile through the TPU relay (measured
+        # 48-196s per shape), which round-2 paid once per buffer: shape
+        # churn, not transfer latency, was 96% of e2e wall time.
+        self._sticky_R = 0
+        self._sticky_steps = 0
+        self._sticky_seeds = 0       # seed-state count -> warm-pool size
+        self._sticky_np = 64         # padded seed-array length
+        self._sticky_retry_R = 0
+        self._sticky_retry_pool = 0
+        # observability: one entry per distinct dispatched device shape
+        # (== number of XLA compiles a cold cache would pay)
+        self.dispatch_shapes = set()
 
     def _tick(self, key, t0):
         import time
@@ -677,9 +692,12 @@ class LogBatchedEngine:
 
         t0 = self._tick("submit_filter", t0)
 
-        R = _row_capacity(len(rows))
+        self._sticky_R = max(self._sticky_R, _row_capacity(len(rows)))
+        R = self._sticky_R
         max_len = max(r.size for _, r in rows)
-        steps = _round_up(max(max_len - k, 0), 16)
+        self._sticky_steps = max(self._sticky_steps,
+                                 _round_up(max(max_len - k, 0), 16))
+        steps = self._sticky_steps
         carry = empty_log_carry(R, self.cfg)
         read_id, lo, hi, pref, _ = carry
         reads_T = np.zeros((steps, R), dtype=np.uint8)
@@ -757,7 +775,9 @@ class LogBatchedEngine:
         if steps > 0 and cursor > 0:
             cfg_eff = LogConfig(pool=self.cfg.pool,
                                 hits=self.cfg.hits * self.hits_boost)
-            phases = auto_phases(steps, R, cfg_eff, n_seed_states=cursor)
+            self._sticky_seeds = max(self._sticky_seeds, cursor)
+            phases = auto_phases(steps, R, cfg_eff,
+                                 n_seed_states=self._sticky_seeds)
             # ship only the warm-pool slice: the configured pool is a
             # cap, transferring it wholesale wastes relay bandwidth
             pool0 = phases[0][1]
@@ -772,6 +792,9 @@ class LogBatchedEngine:
                 reads_dev = jnp.asarray(reads_T)
                 carry_dev = jax.device_put(carry)
                 t0 = self._tick("submit_put", t0)
+                self.dispatch_shapes.add(
+                    ("packed", phases, R, reads_T.shape,
+                     tuple(a.shape for a in carry)))
                 device_out = (_log_search_packed(
                     self.di, reads_dev, carry_dev, phases, R,
                     blocks=self.blocks, rank=self.rank), phases, R)
@@ -788,12 +811,13 @@ class LogBatchedEngine:
             self.cov_diff = jax.device_put(
                 np.zeros(self.rt.cov_size + 1, np.int32))
 
-    @staticmethod
-    def _pad_seeds(seeds):
-        """Pad seed arrays' state dim to a pow2 (bounds compile count)."""
+    def _pad_seeds(self, seeds):
+        """Pad seed arrays' state dim to the sticky pow2 ratchet (one
+        canonical shape across buffers -> no per-buffer recompiles)."""
         s_trav, s_nt, s_ing, s_ni = seeds
         n = s_nt.shape[0]
-        Np = _next_pow2(max(n, 1), floor=64)
+        self._sticky_np = max(self._sticky_np, _next_pow2(max(n, 1), floor=64))
+        Np = self._sticky_np
         if Np == n:
             return seeds
         pad = Np - n
@@ -825,6 +849,8 @@ class LogBatchedEngine:
                 row_first[sub] = first_raws[i]
                 row_len[sub] = read.size
         trip_cap = 8 * R
+        self.dispatch_shapes.add(
+            ("record", phases, R, trip_cap, reads_T.shape, seeds_p[0].shape))
         packed, self.cov_diff = _log_search_record(
             self.di, self.rt, jnp.asarray(reads_T), jax.device_put(carry),
             *(jnp.asarray(a) for a in seeds_p),
@@ -856,6 +882,22 @@ class LogBatchedEngine:
         return (results, rows, carry_np, log_parent, log_event, seeds,
                 host_rows)
 
+    def _retry_shapes(self, n_ovf_rows: int, n_sel_states: int):
+        """Canonical retry-pass shapes: quantised with a generous floor
+        and ratcheted sticky, so every retry dispatch in a run (and
+        across runs, via the persistent XLA cache) reuses ONE compiled
+        program. The floor (1024 rows) costs only padding; a fresh shape
+        costs a minutes-long relay compile."""
+        self._sticky_retry_R = max(self._sticky_retry_R,
+                                   _row_capacity(max(n_ovf_rows, 1024)))
+        R2 = self._sticky_retry_R
+        self._sticky_retry_pool = max(
+            self._sticky_retry_pool, 32768,
+            _next_pow2(2 * max(n_sel_states, 1)), _next_pow2(8 * R2))
+        pool_r = min(self.cfg.pool, self._sticky_retry_pool)
+        hits_r = self.cfg.hits * max(self.hits_boost, 2)
+        return R2, pool_r, hits_r
+
     def _retry_overflow(self, carry_np, log_parent, log_event, init_carry,
                         reads_T, nrows):
         """One full-budget device re-scan of reads the phased plan
@@ -880,15 +922,9 @@ class LogBatchedEngine:
         sel = np.flatnonzero(
             (init_read_id >= 0)
             & np.isin(init_read_id, ovf_rows, assume_unique=False))
-        R2 = _row_capacity(ovf_rows.size)
         if sel.size > self.cfg.pool:
             return carry_np, log_parent, log_event
-        # full-budget = generous, not the raw cap: pool scales from the
-        # retried seed count and rows, hits stay at the configured max
-        pool_r = min(self.cfg.pool,
-                     max(32768, _next_pow2(2 * sel.size),
-                         _next_pow2(8 * R2)))
-        hits_r = self.cfg.hits * max(self.hits_boost, 2)
+        R2, pool_r, hits_r = self._retry_shapes(ovf_rows.size, sel.size)
         cfg_r = LogConfig(pool=pool_r, hits=hits_r)
         carry2 = empty_log_carry(R2, cfg_r)
         rid2, lo2, hi2, pref2, _ = carry2
@@ -902,6 +938,8 @@ class LogBatchedEngine:
 
         steps = reads_T.shape[0]
         p2 = ((steps, pool_r, hits_r),)
+        self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
+                                  tuple(a.shape for a in carry2)))
         flat2 = _log_search_packed(self.di, jnp.asarray(reads_T2),
                                    jax.device_put(carry2), p2, R2,
                                    blocks=self.blocks, rank=self.rank)
@@ -1037,13 +1075,10 @@ class LogBatchedEngine:
             sel = np.flatnonzero(
                 (init_read_id >= 0) & np.isin(init_read_id, ovf_rows))
             if sel.size <= self.cfg.pool:
-                R2 = _row_capacity(ovf_rows.size)
+                R2, pool_r, hits_r = self._retry_shapes(ovf_rows.size,
+                                                        sel.size)
                 row_remap = np.full(nrows, -1, dtype=np.int32)
                 row_remap[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
-                pool_r = min(self.cfg.pool,
-                             max(32768, _next_pow2(2 * max(sel.size, 1)),
-                                 _next_pow2(8 * R2)))
-                hits_r = self.cfg.hits * max(self.hits_boost, 2)
                 carry2 = empty_log_carry(R2, LogConfig(pool=pool_r,
                                                        hits=hits_r))
                 rid2, lo2, hi2, pref2, _ = carry2

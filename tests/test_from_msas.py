@@ -127,3 +127,70 @@ def test_standalone_build_from_msas(tmp_path):
     g = build_cov_graph(prg)
     assert get_first_prg_path(g) == "AAAATTTTCCCCGGGG"
     assert g.num_sites >= 1
+
+
+# --- vectorised renumber_region == scalar translate --------------------------
+
+
+def test_renumber_region_matches_scalar_translate():
+    import numpy as np
+    from gramtools_tpu.commands.from_msas import PRGAggregator
+
+    rng = np.random.RandomState(3)
+    for trial in range(20):
+        # random region PRGs: normal sites, legacy odd-closed sites,
+        # repeated allele markers, interleaved across two regions
+        regions = {}
+        for rid in ("a", "b"):
+            parts = []
+            for s in range(rng.randint(1, 6)):
+                m = 5 + 2 * rng.randint(0, 8)
+                if rng.rand() < 0.5:
+                    # normal: odd ... even ... even
+                    parts += [m, 1, m + 1, 2, m + 1]
+                else:
+                    # legacy: odd ... even(mid) ... odd(close)
+                    parts += [m, 3, m + 1, 4, m]
+                parts += [rng.randint(1, 5)]
+            # dedup sites reusing the same local marker twice across the
+            # region would be a >2 error; filter those out
+            seen = {}
+            clean = []
+            for v in parts:
+                if v > 4:
+                    key = v if v % 2 else v - 1
+                    seen[key] = seen.get(key, 0) + (v % 2)
+                    if seen[key] > 2:
+                        continue
+                clean.append(v)
+            regions[rid] = np.array(clean, dtype=np.int64)
+
+        vec = PRGAggregator()
+        sca = PRGAggregator()
+        for rid, ints in regions.items():
+            got = vec.renumber_region(rid, ints)
+            want = np.array(
+                [v if v <= 4 else sca.translate(rid, int(v)) for v in ints],
+                dtype=np.int64)
+            assert np.array_equal(got, want), (trial, rid, ints, got, want)
+        assert vec.next_allocated == sca.next_allocated
+
+
+def test_renumber_region_rejects_early_allele_marker():
+    import numpy as np
+    import pytest
+    from gramtools_tpu.commands.from_msas import (PRGAggregationError,
+                                                  PRGAggregator)
+
+    with pytest.raises(PRGAggregationError):
+        PRGAggregator().renumber_region("r", np.array([6, 1, 5, 2, 6]))
+
+
+def test_renumber_region_rejects_three_odd_occurrences():
+    import numpy as np
+    import pytest
+    from gramtools_tpu.commands.from_msas import (PRGAggregationError,
+                                                  PRGAggregator)
+
+    with pytest.raises(PRGAggregationError):
+        PRGAggregator().renumber_region("r", np.array([5, 1, 5, 2, 5]))

@@ -33,7 +33,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
-    from bench import build_synthetic_mtb_graph, sample_reads
+    from bench import (build_synthetic_mtb_graph, sample_haplotypes,
+                       sample_reads)
     from gramtools_tpu.prg.linearise import PrgString
     from gramtools_tpu.prg.graph import build_cov_graph
     from gramtools_tpu.index.fm import FMIndex
@@ -56,7 +57,9 @@ def main():
 
     engine = LogBatchedEngine(idx, KMER)
     print(f"# device_record={engine.device_record}", file=sys.stderr)
-    reads = sample_reads(rng, prg_ints, BUFREADS * NBUF, READ_LEN)
+    paths = sample_haplotypes(prg_ints, dict(prg.end_positions), rng,
+                              n_paths=8)
+    reads = sample_reads(rng, paths, BUFREADS * NBUF, READ_LEN)
     buffers = [[reads[b * BUFREADS + i] for i in range(BUFREADS)]
                for b in range(NBUF)]
     master = RandomInclusiveInt(42)
@@ -67,36 +70,44 @@ def main():
         seeds = master.raw_block(BUFREADS)
         return seeds, first_raw_draws(np.asarray(seeds, dtype=np.uint32))
 
-    # warmup buffer (compile)
+    # warmup: two buffers, so the post-hits-boost shape (if the first
+    # buffer steps the budget up) also compiles before timing
     print("# warmup (compile)...", file=sys.stderr)
     tw = time.perf_counter()
-    seeds0, fr0 = draw()
-    tok = engine.scan_submit(buffers[0], kmer_index, KMER, stats,
-                             first_raws=fr0)
-    engine.record_complete(tok, seeds0, fr0, stats, coverage)
-    print(f"# warmup {time.perf_counter()-tw:.1f}s", file=sys.stderr)
+    for b in range(2):
+        seeds0, fr0 = draw()
+        tok = engine.scan_submit(buffers[b], kmer_index, KMER, stats,
+                                 first_raws=fr0)
+        engine.record_complete(tok, seeds0, fr0, stats, coverage)
+    print(f"# warmup {time.perf_counter()-tw:.1f}s "
+          f"shapes={len(engine.dispatch_shapes)}", file=sys.stderr)
     engine.timers.clear()
 
     # steady-state: pipelined loop (same structure as quasimap_reads)
     t_start = time.perf_counter()
     in_flight = None
-    for b in range(1, NBUF):
+    for b in range(2, NBUF):
         seeds, frs = draw()
+        tb = time.perf_counter()
         token = engine.scan_submit(buffers[b], kmer_index, KMER, stats,
                                    first_raws=frs)
+        ts = time.perf_counter()
         if in_flight is not None:
             engine.record_complete(*in_flight, stats, coverage)
+        print(f"# buf{b}: submit={ts-tb:.2f}s "
+              f"complete={time.perf_counter()-ts:.2f}s", file=sys.stderr)
         in_flight = (token, seeds, frs)
     if in_flight is not None:
         engine.record_complete(*in_flight, stats, coverage)
     engine.flush_device_coverage()
     total = time.perf_counter() - t_start
-    n = NBUF - 1
+    n = NBUF - 2
     rps = BUFREADS * n / total
     print(f"# steady: {n} buffers in {total:.2f}s = {rps:.0f} reads/s e2e",
           file=sys.stderr)
     print(f"# retried={engine.device_retried} fallbacks={engine.host_fallbacks} "
-          f"hits_boost={engine.hits_boost}", file=sys.stderr)
+          f"hits_boost={engine.hits_boost} "
+          f"shapes={len(engine.dispatch_shapes)}", file=sys.stderr)
     print("# engine timers/buffer: "
           + " ".join(f"{k}={v/n*1e3:.0f}ms"
                      for k, v in sorted(engine.timers.items())),
