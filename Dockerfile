@@ -19,7 +19,10 @@ COPY gramtools_tpu ./gramtools_tpu
 ARG JAX_SPEC="jax[cpu]"
 RUN pip install --no-cache-dir ${JAX_SPEC} numpy && pip install --no-cache-dir .
 
-# pre-build the native library so first run needs no compiler warm-up
+# pre-build the native library so first run needs no compiler warm-up;
+# portable ISA (no -march=native) so the image runs on older CPUs than
+# the build host
+ENV GRAMTOOLS_TPU_MARCH=portable
 RUN python -c "from gramtools_tpu.index.native import get_native_lib; \
 assert get_native_lib() is not None"
 

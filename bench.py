@@ -279,7 +279,7 @@ def main():
     from gramtools_tpu.prg.graph import build_cov_graph
     from gramtools_tpu.prg.linearise import PrgString
     from gramtools_tpu.mapping.search import PrgIndex
-    from gramtools_tpu.mapping.search_jax import DeviceIndex
+    from gramtools_tpu.mapping.device_index import DeviceIndex
 
     print(f"# building synthetic graph: {GENOME_MB}Mb, {NUM_SITES} sites, "
           f"profile={PROFILE}, rank={RANK}", file=sys.stderr)
@@ -453,12 +453,24 @@ def main():
               f"{cpp_rps:.0f} reads/s", file=sys.stderr)
 
     primary = out.get("value", out["scan_reads_per_sec"])
+    # Scope note for both ratios: the device e2e rate covers the FULL
+    # production path (read IO, both orientations, kmer screen, scan,
+    # selection, coverage recording); the C++/OpenMP baseline covers the
+    # reference backend's mapping hot loop (scan from precomputed seeds,
+    # one orientation) on cpp_threads host cores -- so vs_baseline_e2e
+    # UNDERSTATES the device advantage and vs_baseline_scan is the
+    # like-for-like kernel comparison.
     result_line = {
         "metric": "quasimap_e2e_reads_per_sec_per_chip",
         "value": primary,
         "unit": f"reads/s (150bp, {GENOME_MB}Mb {PROFILE} graph, "
                 f"full device mapping path)",
         "vs_baseline": round(primary / cpp_rps, 2) if cpp_rps else None,
+        "vs_baseline_e2e": (round(primary / cpp_rps, 2)
+                            if cpp_rps and "value" in out else None),
+        "vs_baseline_scan": (round(out["scan_reads_per_sec"] / cpp_rps, 2)
+                             if cpp_rps else None),
+        "baseline_host_cores": CPP_THREADS or os.cpu_count(),
     }
     result_line.update(out)
     result_line["value"] = primary

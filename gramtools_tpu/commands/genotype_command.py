@@ -87,14 +87,16 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
                  jax.default_backend())
     if engine_choice == "device":
         import os
-        if os.environ.get("GRAMTOOLS_TPU_ENGINE", "log") == "flat":
-            from ..mapping.search_jax_flat import FlatBatchedEngine
-            log.info("Using batched device mapping engine (flat pool)")
-            engine = FlatBatchedEngine(idx, kmer_size)
+        from ..mapping.search_jax_log import LogBatchedEngine
+        mesh = None
+        n_mesh = int(os.environ.get("GRAMTOOLS_TPU_MESH_DEVICES", "0"))
+        if n_mesh > 1:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(n_mesh)
+            log.info("Using mesh device mapping engine (%d shards)", n_mesh)
         else:
-            from ..mapping.search_jax_log import LogBatchedEngine
             log.info("Using batched device mapping engine (genealogy log)")
-            engine = LogBatchedEngine(idx, kmer_size)
+        engine = LogBatchedEngine(idx, kmer_size, mesh=mesh)
 
     log.info("Running quasimap")
     with timer.phase("Quasimap"):

@@ -6,6 +6,7 @@ compiler is available.
 """
 from __future__ import annotations
 
+import os
 import ctypes
 import subprocess
 from pathlib import Path
@@ -25,8 +26,12 @@ def _build_library() -> Optional[Path]:
     sources = [str(_NATIVE_DIR / s) for s in _SOURCES if (_NATIVE_DIR / s).exists()]
     if not sources:
         return None
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-fopenmp", "-o", str(_LIB_PATH)] + sources + ["-lz"]
+    # GRAMTOOLS_TPU_MARCH=portable builds without -march=native so a
+    # container image built on one host cannot SIGILL on an older CPU
+    march = ([] if os.environ.get("GRAMTOOLS_TPU_MARCH") == "portable"
+             else ["-march=native"])
+    cmd = (["g++", "-O3"] + march + ["-shared", "-fPIC", "-std=c++17",
+           "-fopenmp", "-o", str(_LIB_PATH)] + sources + ["-lz"])
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):

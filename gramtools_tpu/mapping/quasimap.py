@@ -216,10 +216,10 @@ def _map_buffer_batched(buffer, selection_seeds, first_raws, coverage,
             stats.exact_mapped_reads_count += 1
     if pool is None:
         # selection + dense counts per read; per-base recording batched
-        # over the whole buffer (coverage_vec.py)
+        # over the whole buffer (coverage_fast.record_per_base_batch)
         from .coverage import (record_allele_sum, record_grouped_counts,
                                select_mapping_instance)
-        from .coverage_vec import record_per_base_batch
+        from .coverage_fast import record_per_base_batch
 
         per_read = []
         for states, read_len, seed_i, first in items:

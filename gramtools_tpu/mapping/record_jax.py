@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from ..prg.markers import ALLELE_UNKNOWN
 from .jump_table import OP_ENTER, OP_EXIT
 from .search import PrgIndex
-from .search_jax import DeviceIndex
+from .device_index import DeviceIndex
 
 # static budgets (overflow -> per-row host fallback). Per-state caps:
 MAX_CHAIN = 32       # genealogy chain depth (events per state)
@@ -513,7 +513,7 @@ def select_and_record_device(
 def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
                             st_selected, row_len, fallback, cov_diff,
                             wcap=WCAP_BASE, emitcap=EMITCAP_BASE):
-    """Device twin of coverage_vec._run_walks + envelope + apply.
+    """Device twin of coverage_fast._run_walks + envelope + apply.
 
     Walk lanes = occurrence expansion of selected states; emissions
     (read, node, start, end) -> envelope per (read, node) via sorted

@@ -1,11 +1,13 @@
 """Genealogy-log vBWT search: the scan carries no variant paths at all.
 
-Third-generation device engine (slots -> flat pool -> this). Profiling
-the flat-pool engine (search_jax_flat) on TPU v5e shows a large share of
-per-step HBM traffic is the path machinery: every state drags two
-(P, 2) path arrays through the dense repack scatter each step, and every
-marker hit replays a masked O-op write loop over (G, B, P) buffers --
-even though paths are only *read* once, on the host, after the scan.
+THE production device engine (third generation: the round-1 slot and
+flat-pool engines are retired -- one device engine, one device recorder,
+one scalar oracle). Profiling the retired flat-pool engine on TPU v5e
+showed a large share of per-step HBM traffic was path machinery: every
+state dragged two (P, 2) path arrays through the dense repack scatter
+each step, and every marker hit replayed a masked O-op write loop over
+(G, B, P) buffers -- even though paths are only *read* once, on the
+host, after the scan.
 
 This engine stores no paths on device. Each pool state carries a single
 ``pref`` word: a reference into a genealogy log. When a marker hit
@@ -41,7 +43,12 @@ import jax
 import jax.numpy as jnp
 
 from .search import PrgIndex, SearchState
-from .search_jax import DeviceIndex, _next_pow2, _round_up
+from .device_index import DeviceIndex, _next_pow2, _round_up
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 @dataclass
@@ -261,13 +268,10 @@ def _log_search_probe(di: DeviceIndex, reads_T, carry, phases, num_reads,
                               collect_live=True)
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads", "rank"))
-def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads,
-                       blocks=None, rank="dense"):
-    """Like _log_search_impl but returns ONE flat int32 array: every
-    result leaf fetched separately pays a full host<->device round trip
-    (expensive through a remote-device relay), so the engine packs the
-    final carry + genealogy log on device and unpacks on host."""
+def _packed_body(di: DeviceIndex, reads_T, carry, phases, num_reads,
+                 blocks=None, rank="dense"):
+    """Scan + pack final carry and genealogy log into ONE flat int32
+    array (shared by the single-chip jit and the shard_map builder)."""
     carry, (lp, le) = _log_search_phases(
         di, reads_T, carry, phases, num_reads,
         occ_rows=_occ_rows_for(di, blocks, rank))
@@ -276,14 +280,23 @@ def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads,
                             lp.reshape(-1), le.reshape(-1)])
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap", "rank"),
-         donate_argnums=(11,))
-def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
-                       s_trav, s_nt, s_ing, s_ni,
-                       row_ok, row_first_raw, row_len, cov_diff,
-                       phases, num_reads, trip_cap,
+@partial(jax.jit, static_argnames=("phases", "num_reads", "rank"))
+def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads,
                        blocks=None, rank="dense"):
-    """Fused scan + device-side selection/recording (record_jax.py).
+    """Like _log_search_impl but returns ONE flat int32 array: every
+    result leaf fetched separately pays a full host<->device round trip
+    (expensive through a remote-device relay), so the engine packs the
+    final carry + genealogy log on device and unpacks on host."""
+    return _packed_body(di, reads_T, carry, phases, num_reads,
+                        blocks=blocks, rank=rank)
+
+
+def _record_body(di: DeviceIndex, rt, reads_T, carry,
+                 s_trav, s_nt, s_ing, s_ni,
+                 row_ok, row_first_raw, row_len, cov_diff,
+                 phases, num_reads, trip_cap, blocks=None, rank="dense"):
+    """Fused scan + device-side selection/recording (record_jax.py),
+    shared by the single-chip jit and the shard_map builder.
 
     Nothing bulky crosses the relay: the genealogy log is replayed on
     device, per-base coverage accumulates in the donated diff array, and
@@ -309,43 +322,108 @@ def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
     return packed, cov_diff
 
 
-def _unpack_record_result(flat: np.ndarray, num_reads: int, trip_cap: int):
-    """Host-side split of _log_search_record's packed output. Returns
-    (overflow, fallback, mapped, loci_rows) with loci_rows the
-    neighbour-deduped (row, site, allele) triples."""
+@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap", "rank"),
+         donate_argnums=(11,))
+def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
+                       s_trav, s_nt, s_ing, s_ni,
+                       row_ok, row_first_raw, row_len, cov_diff,
+                       phases, num_reads, trip_cap,
+                       blocks=None, rank="dense"):
+    return _record_body(di, rt, reads_T, carry, s_trav, s_nt, s_ing, s_ni,
+                        row_ok, row_first_raw, row_len, cov_diff,
+                        phases, num_reads, trip_cap, blocks=blocks, rank=rank)
+
+
+def _unpack_record_result(flat: np.ndarray, num_reads: int, trip_cap: int,
+                          n_shards: int = 1):
+    """Host-side split of the fused record output into GLOBAL row space.
+
+    For n_shards > 1 the flat array is the shard-order concatenation of
+    per-shard blocks [ovf | fallback | mapped | t_row | t_site |
+    t_allele]; flag bits land at their global rows (local * S + shard)
+    and the triples' local rows globalise likewise. Returns (overflow,
+    fallback, mapped, loci_rows) with loci_rows the neighbour-deduped
+    (row, site, allele) triples (a row lives in exactly one shard, so
+    per-shard dedup is global dedup)."""
+    S = n_shards
     R = num_reads
-    ovf = flat[:R].astype(bool)
-    fallback = flat[R:2 * R].astype(bool)
-    mapped = flat[2 * R:3 * R].astype(bool)
-    t = flat[3 * R:]
-    t_row = t[:trip_cap]
-    t_site = t[trip_cap:2 * trip_cap]
-    t_allele = t[2 * trip_cap:3 * trip_cap]
-    valid = t_row < R
-    uniq = np.ones(trip_cap, dtype=bool)
-    if trip_cap > 1:
-        uniq[1:] = ((t_row[1:] != t_row[:-1]) | (t_site[1:] != t_site[:-1])
-                    | (t_allele[1:] != t_allele[:-1]))
-    keep = valid & uniq
-    loci_rows = np.stack([t_row[keep], t_site[keep], t_allele[keep]],
-                         axis=1).astype(np.int64)
+    block = 3 * R + 3 * trip_cap
+    assert flat.size == S * block, (flat.size, S, block)
+    ovf = np.zeros(S * R, dtype=bool)
+    fallback = np.zeros(S * R, dtype=bool)
+    mapped = np.zeros(S * R, dtype=bool)
+    loci_parts = []
+    for s in range(S):
+        seg = flat[s * block:(s + 1) * block]
+        rows_g = (np.arange(R) * S + s) if S > 1 else np.arange(R)
+        ovf[rows_g] = seg[:R].astype(bool)
+        fallback[rows_g] = seg[R:2 * R].astype(bool)
+        mapped[rows_g] = seg[2 * R:3 * R].astype(bool)
+        t = seg[3 * R:]
+        t_row = t[:trip_cap]
+        t_site = t[trip_cap:2 * trip_cap]
+        t_allele = t[2 * trip_cap:3 * trip_cap]
+        valid = t_row < R
+        uniq = np.ones(trip_cap, dtype=bool)
+        if trip_cap > 1:
+            uniq[1:] = ((t_row[1:] != t_row[:-1])
+                        | (t_site[1:] != t_site[:-1])
+                        | (t_allele[1:] != t_allele[:-1]))
+        keep = valid & uniq
+        g_row = t_row[keep] * S + s if S > 1 else t_row[keep]
+        loci_parts.append(np.stack(
+            [g_row, t_site[keep], t_allele[keep]], axis=1).astype(np.int64))
+    loci_rows = (np.concatenate(loci_parts) if len(loci_parts) > 1
+                 else loci_parts[0])
     return ovf, fallback, mapped, loci_rows
 
 
 def _unpack_result(flat: np.ndarray, phases, num_reads: int,
-                   n_outcomes: int):
-    """Host-side split of _log_search_packed's output. Returns
-    (carry_np, log_parent, log_event)."""
+                   n_outcomes: int, n_shards: int = 1):
+    """Host-side split of the scan+pack output into GLOBAL row space.
+
+    For n_shards > 1 the flat array is the shard-order concatenation of
+    per-shard blocks [rid | lo | hi | pref | ovf | lp | le]; local read
+    ids map to global rows (local * S + shard), per-shard log references
+    (non-negative prefs and log parents) shift by the shard's log
+    offset, and the overflow flags land at their global rows. Returns
+    (carry_np, log_parent, log_event) with carry arrays concatenated
+    over shards."""
+    S = n_shards
     N = phases[-1][1]
     L = sum(n * h for n, _, h in phases) * n_outcomes
-    rid = flat[:N]
-    lo = flat[N:2 * N]
-    hi = flat[2 * N:3 * N]
-    pref = flat[3 * N:4 * N]
-    ovf = flat[4 * N:4 * N + num_reads].astype(bool)
-    lp = flat[4 * N + num_reads:4 * N + num_reads + L]
-    le = flat[4 * N + num_reads + L:]
-    assert le.size == L, (le.size, L)
+    block = 4 * N + num_reads + 2 * L
+    assert flat.size == S * block, (flat.size, S, block)
+    rid = np.empty(S * N, flat.dtype)
+    lo = np.empty(S * N, flat.dtype)
+    hi = np.empty(S * N, flat.dtype)
+    pref = np.empty(S * N, flat.dtype)
+    ovf = np.zeros(S * num_reads, dtype=bool)
+    lp = np.empty(S * L, flat.dtype)
+    le = np.empty(S * L, flat.dtype)
+    for s in range(S):
+        seg = flat[s * block:(s + 1) * block]
+        r = seg[:N]
+        p = seg[3 * N:4 * N]
+        if S > 1:
+            r = np.where(r >= 0, r * S + s, r)
+            p = np.where((seg[:N] >= 0) & (p >= 0), p + s * L, p)
+        rid[s * N:(s + 1) * N] = r
+        lo[s * N:(s + 1) * N] = seg[N:2 * N]
+        hi[s * N:(s + 1) * N] = seg[2 * N:3 * N]
+        pref[s * N:(s + 1) * N] = p
+        ovf_local = seg[4 * N:4 * N + num_reads].astype(bool)
+        if S > 1:
+            rows = np.arange(num_reads) * S + s
+            ovf[rows] = ovf_local
+        else:
+            ovf = ovf_local
+        lseg = seg[4 * N + num_reads:]
+        lps = lseg[:L]
+        if S > 1:
+            lps = np.where(lps >= 0, lps + s * L, lps)
+        lp[s * L:(s + 1) * L] = lps
+        le[s * L:(s + 1) * L] = lseg[L:]
     return (rid, lo, hi, pref, ovf), lp, le
 
 
@@ -574,12 +652,14 @@ def replay_paths_vectorised(f_read_id, f_pref, log_parent, log_event,
 
 
 class LogBatchedEngine:
-    """Drop-in engine for quasimap_reads (same contract as
-    FlatBatchedEngine.search_buffer), plus a fully-vectorised
-    record_buffer fast path (selection + coverage as array ops)."""
+    """THE production mapping engine for quasimap_reads: search_buffer
+    (packed scan + host replay, the oracle-comparison contract) plus the
+    fused record pipeline (scan_submit/record_complete with device-side
+    selection + coverage). Pass a Mesh to run data-parallel over chips
+    (parallel.mesh.MeshLogEngine is that configuration)."""
 
     def __init__(self, idx: PrgIndex, kmer_size: int,
-                 cfg: Optional[LogConfig] = None):
+                 cfg: Optional[LogConfig] = None, mesh=None):
         import os
 
         from ..common.jax_setup import enable_compile_cache
@@ -588,6 +668,15 @@ class LogBatchedEngine:
         enable_compile_cache()
         self.idx = idx
         self.kmer_size = kmer_size
+        # data-parallel mesh: rows round-robin over the 'data' axis, the
+        # index replicated, each shard running the identical phased scan
+        # + fused record on its row slice (the multi-chip analogue of the
+        # reference's OpenMP buffer loop, quasimap.cpp:90-117, with the
+        # per-read seeded selection RNG keeping results shard-count
+        # invariant). mesh=None = single chip (S=1, layout = identity).
+        self.mesh = mesh
+        self.S = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        self._shard_cache: dict = {}
         self.jt = build_jump_table(idx)
         self.di = DeviceIndex.build(idx, self.jt)
         idx.graph.node_tables()  # pre-build for the batched coverage recorder
@@ -663,6 +752,124 @@ class LogBatchedEngine:
             return t1
         return t0
 
+    # ---- shard layout ----------------------------------------------------
+    # Global row r lives in shard r % S at local column r // S
+    # (round-robin keeps shards balanced for partial buffers); a device
+    # column c = s*R + local therefore maps back to row local*S + s.
+    # For S == 1 both maps are the identity.
+
+    def _cols_of(self, rows_idx, R: int):
+        rows_idx = np.asarray(rows_idx)
+        if self.S == 1:
+            return rows_idx
+        return (rows_idx % self.S) * R + rows_idx // self.S
+
+    def _rows_of_all_cols(self, R: int):
+        cols = np.arange(self.S * R)
+        if self.S == 1:
+            return cols
+        return (cols % R) * self.S + cols // R
+
+    def _place_states(self, owner_rows: np.ndarray, pool: int):
+        """Distribute states into per-shard pools (front-packed).
+
+        Returns (slot (m,), keep (m,), spilled_rows): slot = shard*pool +
+        per-shard rank; states ranked past the pool spill their row to
+        the host engine. For S == 1 this is the sequential fill."""
+        m = owner_rows.size
+        shard = owner_rows % self.S
+        order = np.argsort(shard, kind="stable")
+        cnt = np.bincount(shard, minlength=self.S)
+        start = np.zeros(self.S, np.int64)
+        start[1:] = np.cumsum(cnt)[:-1]
+        rank = np.empty(m, np.int64)
+        rank[order] = np.arange(m) - start[shard[order]]
+        keep = rank < pool
+        slot = shard * pool + np.minimum(rank, pool - 1)
+        spilled = np.unique(owner_rows[~keep])
+        return slot, keep, spilled
+
+    # ---- device dispatch (single-chip jit or shard_map) -------------------
+
+    def _shard_specs(self):
+        from jax.sharding import PartitionSpec as P
+        return P, jax.tree_util.tree_map(lambda _: P(), self.di)
+
+    def _blocks_arg(self):
+        # shard_map needs a concrete array operand; a 1-element stub
+        # stands in when packed rank is off (the body never reads it)
+        return self.blocks if self.blocks is not None else jnp.zeros(
+            (1,), jnp.int32)
+
+    def _run_packed(self, reads_T, carry, phases, R):
+        """Dispatch the scan+pack program; returns the device result."""
+        if self.S == 1:
+            return _log_search_packed(self.di, jnp.asarray(reads_T),
+                                      jax.device_put(carry), phases, R,
+                                      blocks=self.blocks, rank=self.rank)
+        key = ("packed", phases, R)
+        fn = self._shard_cache.get(key)
+        if fn is None:
+            P, di_specs = self._shard_specs()
+            rank = self.rank
+            has_blocks = self.blocks is not None
+
+            def shard_fn(di, blocks, reads_T, carry):
+                return _packed_body(
+                    di, reads_T, carry, phases, R,
+                    blocks=blocks if has_blocks else None, rank=rank)
+
+            fn = jax.jit(shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=(di_specs, P(), P(None, "data"), (P("data"),) * 5),
+                out_specs=P("data"), check_vma=False))
+            self._shard_cache[key] = fn
+        return fn(self.di, self._blocks_arg(), jnp.asarray(reads_T),
+                  jax.device_put(carry))
+
+    def _run_record(self, reads_T, carry, seeds_p, row_ok, row_first,
+                    row_len, phases, R, trip_cap):
+        """Dispatch the fused scan+select+record program; returns
+        (packed result, new cov_diff)."""
+        if self.S == 1:
+            return _log_search_record(
+                self.di, self.rt, jnp.asarray(reads_T),
+                jax.device_put(carry), *(jnp.asarray(a) for a in seeds_p),
+                jnp.asarray(row_ok), jnp.asarray(row_first),
+                jnp.asarray(row_len), self.cov_diff, phases, R, trip_cap,
+                blocks=self.blocks, rank=self.rank)
+        key = ("record", phases, R, trip_cap, seeds_p[0].shape)
+        fn = self._shard_cache.get(key)
+        if fn is None:
+            P, di_specs = self._shard_specs()
+            rt_specs = jax.tree_util.tree_map(lambda _: P(), self.rt)
+            rank = self.rank
+            has_blocks = self.blocks is not None
+
+            def shard_fn(di, rt, blocks, reads_T, carry, s_trav, s_nt,
+                         s_ing, s_ni, row_ok, row_first, row_len, cov_diff):
+                packed, cd = _record_body(
+                    di, rt, reads_T, carry, s_trav, s_nt, s_ing, s_ni,
+                    row_ok, row_first, row_len, cov_diff[0], phases, R,
+                    trip_cap, blocks=blocks if has_blocks else None,
+                    rank=rank)
+                return packed, cd[None, :]
+
+            fn = jax.jit(shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=(di_specs, rt_specs, P(), P(None, "data"),
+                          (P("data"),) * 5, P(), P(), P(), P(),
+                          P("data"), P("data"), P("data"), P("data", None)),
+                out_specs=(P("data"), P("data", None)),
+                check_vma=False), donate_argnums=(12,))
+            self._shard_cache[key] = fn
+        packed, self_cov = fn(
+            self.di, self.rt, self._blocks_arg(), jnp.asarray(reads_T),
+            jax.device_put(carry), *(jnp.asarray(a) for a in seeds_p),
+            jnp.asarray(row_ok), jnp.asarray(row_first),
+            jnp.asarray(row_len), self.cov_diff)
+        return packed, self_cov
+
     def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
         """Kmer filter + seed + device scan. Returns (results_skeleton,
         rows, carry_np, log_parent, log_event, seed arrays, host_rows)."""
@@ -692,15 +899,16 @@ class LogBatchedEngine:
 
         t0 = self._tick("submit_filter", t0)
 
-        self._sticky_R = max(self._sticky_R, _row_capacity(len(rows)))
-        R = self._sticky_R
+        n = len(rows)
+        S = self.S
+        self._sticky_R = max(self._sticky_R, _row_capacity(-(-n // S)))
+        R = self._sticky_R                # rows per shard
         max_len = max(r.size for _, r in rows)
         self._sticky_steps = max(self._sticky_steps,
                                  _round_up(max(max_len - k, 0), 16))
         steps = self._sticky_steps
-        carry = empty_log_carry(R, self.cfg)
-        read_id, lo, hi, pref, _ = carry
-        reads_T = np.zeros((steps, R), dtype=np.uint8)
+        reads_T = np.zeros((steps, S * R), dtype=np.uint8)
+        cols = self._cols_of(np.arange(n), R)
         host_rows = set()
 
         seed_fn = getattr(kmer_index, "seed_batch", None)
@@ -709,59 +917,48 @@ class LogBatchedEngine:
             if rows_mat is not None:
                 L = rows_mat.shape[1]
                 last_kmers = rows_mat[:, L - k:]
-                reads_T[: L - k, : rows_mat.shape[0]] = (
-                    rows_mat[:, : L - k][:, ::-1].T)
+                reads_T[: L - k, cols] = rows_mat[:, : L - k][:, ::-1].T
             else:
-                last_kmers = np.zeros((len(rows), k), dtype=np.uint8)
+                last_kmers = np.zeros((n, k), dtype=np.uint8)
                 for row, (i, read) in enumerate(rows):
                     last_kmers[row] = read[read.size - k:]
                     body = read[: read.size - k][::-1]
-                    reads_T[: body.size, row] = body
+                    reads_T[: body.size, cols[row]] = body
             owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = seed_fn(last_kmers)
-            n_states = owner.size
-            if n_states > self.cfg.pool:
-                # rows whose seeds do not fit go to the host engine
-                for r in np.unique(owner[self.cfg.pool:]):
-                    host_rows.add(int(r))
-                n_states = self.cfg.pool
-                s_trav = s_trav[:n_states]
-                s_nt = s_nt[:n_states]
-                s_ing = s_ing[:n_states]
-                s_ni = s_ni[:n_states]
-            read_id[:n_states] = owner[:n_states]
-            lo[:n_states] = s_lo[:n_states]
-            hi[:n_states] = s_hi[:n_states]
-            pref[:n_states] = -np.arange(1, n_states + 1, dtype=np.int32)
-            seeded = set(np.unique(owner[:n_states]).tolist())
-            for row in range(len(rows)):
-                if row not in seeded:
-                    host_rows.add(row)
-            cursor = n_states
             seeds = (s_trav, s_nt, s_ing, s_ni)
         else:
-            cursor = 0
-            tups = []
+            if S > 1:
+                raise TypeError(
+                    "mesh mapping needs the array-backed kmer index "
+                    "(index.kmer_index_vec.build_kmer_index_vectorised); "
+                    "the dict oracle index has no seed_batch")
+            owner_l: list = []
+            lo_l: list = []
+            hi_l: list = []
+            tups: list = []
             for row, (i, read) in enumerate(rows):
                 seed = read[read.size - k:].astype(np.uint8).tobytes()
                 states = kmer_index.get(seed, [])
-                if not states or cursor + len(states) > self.cfg.pool:
+                if not states:
                     host_rows.add(row)
                     continue
                 for s in states:
-                    read_id[cursor] = row
-                    lo[cursor] = s.lo
-                    hi[cursor] = s.hi
-                    pref[cursor] = -(cursor + 1)
+                    owner_l.append(row)
+                    lo_l.append(s.lo)
+                    hi_l.append(s.hi)
                     tups.append((tuple(s.traversed), tuple(s.traversing)))
-                    cursor += 1
                 body = read[: read.size - k][::-1]
-                reads_T[: body.size, row] = body
+                reads_T[: body.size, cols[row]] = body
+            owner = np.asarray(owner_l, dtype=np.int64)
+            s_lo = np.asarray(lo_l, dtype=np.int64)
+            s_hi = np.asarray(hi_l, dtype=np.int64)
             P0 = max((max(len(t), len(g)) for t, g in tups), default=0)
             P0 = max(P0, 1)
-            s_trav = np.zeros((cursor, P0, 2), dtype=np.int32)
-            s_ing = np.zeros((cursor, P0, 2), dtype=np.int32)
-            s_nt = np.zeros(cursor, dtype=np.int32)
-            s_ni = np.zeros(cursor, dtype=np.int32)
+            m = owner.size
+            s_trav = np.zeros((m, P0, 2), dtype=np.int32)
+            s_ing = np.zeros((m, P0, 2), dtype=np.int32)
+            s_nt = np.zeros(m, dtype=np.int32)
+            s_ni = np.zeros(m, dtype=np.int32)
             for si, (t, g) in enumerate(tups):
                 s_nt[si] = len(t)
                 s_ni[si] = len(g)
@@ -772,33 +969,56 @@ class LogBatchedEngine:
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
         t0 = self._tick("submit_seed", t0)
-        if steps > 0 and cursor > 0:
-            cfg_eff = LogConfig(pool=self.cfg.pool,
-                                hits=self.cfg.hits * self.hits_boost)
-            self._sticky_seeds = max(self._sticky_seeds, cursor)
+        n_states = owner.size
+        if steps > 0 and n_states > 0:
+            # the marker-hit budget is a GLOBAL per-step quota shared by
+            # all of a shard's rows: scale it with the row capacity (the
+            # configured default is tuned for ~8k rows), else
+            # throughput-mode buffers mass-overflow and the adaptive
+            # boost churns shapes
+            cfg_eff = LogConfig(
+                pool=self.cfg.pool,
+                hits=self.cfg.hits * max(1, R // 8192) * self.hits_boost)
+            per_shard = (int(np.bincount(owner % S, minlength=S).max())
+                         if S > 1 else n_states)
+            self._sticky_seeds = max(self._sticky_seeds, per_shard)
             phases = auto_phases(steps, R, cfg_eff,
                                  n_seed_states=self._sticky_seeds)
-            # ship only the warm-pool slice: the configured pool is a
-            # cap, transferring it wholesale wastes relay bandwidth
             pool0 = phases[0][1]
-            if carry[0].shape[0] > pool0:
-                carry = (carry[0][:pool0], carry[1][:pool0],
-                         carry[2][:pool0], carry[3][:pool0], carry[4])
+            slot, keep, spilled = self._place_states(owner, pool0)
+            host_rows.update(int(r) for r in spilled)
+            carry = (np.full(S * pool0, -1, np.int32),
+                     np.zeros(S * pool0, np.int32),
+                     np.zeros(S * pool0, np.int32),
+                     np.zeros(S * pool0, np.int32),
+                     np.zeros(S * R, bool))
+            rid_c, lo_c, hi_c, pref_c = carry[0], carry[1], carry[2], carry[3]
+            placed = slot[keep]
+            rid_c[placed] = (owner[keep] // S).astype(np.int32)
+            lo_c[placed] = s_lo[keep]
+            hi_c[placed] = s_hi[keep]
+            # seed prefs reference the (replicated) seed list by ORIGINAL
+            # index, independent of placement order
+            pref_c[placed] = -(np.flatnonzero(keep).astype(np.int32) + 1)
+            seeded = np.zeros(n, dtype=bool)
+            seeded[owner[keep]] = True
+            host_rows.update(int(r) for r in np.flatnonzero(~seeded))
             if self.device_record and first_raws is not None:
                 device_out = self._dispatch_record(
                     rows, reads_T, carry, seeds, host_rows, first_raws,
                     phases, R)
             else:
-                reads_dev = jnp.asarray(reads_T)
-                carry_dev = jax.device_put(carry)
                 t0 = self._tick("submit_put", t0)
                 self.dispatch_shapes.add(
                     ("packed", phases, R, reads_T.shape,
                      tuple(a.shape for a in carry)))
-                device_out = (_log_search_packed(
-                    self.di, reads_dev, carry_dev, phases, R,
-                    blocks=self.blocks, rank=self.rank), phases, R)
+                device_out = (self._run_packed(reads_T, carry, phases, R),
+                              phases, R)
         else:
+            # no extension steps / no seeds: everything via the exact
+            # host path
+            host_rows.update(range(n))
+            carry = None
             device_out = None
         self._tick("submit_dispatch", t0)
         return (results, rows, device_out, seeds, host_rows, carry, reads_T)
@@ -808,8 +1028,9 @@ class LogBatchedEngine:
             from .record_jax import RecordTables
             self.rt = RecordTables.build(self.idx)
         if self.cov_diff is None:
-            self.cov_diff = jax.device_put(
-                np.zeros(self.rt.cov_size + 1, np.int32))
+            shape = ((self.rt.cov_size + 1,) if self.S == 1
+                     else (self.S, self.rt.cov_size + 1))
+            self.cov_diff = jax.device_put(np.zeros(shape, np.int32))
 
     def _pad_seeds(self, seeds):
         """Pad seed arrays' state dim to the sticky pow2 ratchet (one
@@ -830,38 +1051,46 @@ class LogBatchedEngine:
         """Dispatch the fused scan+record program for one (sub)buffer.
 
         row_map: optional original-row ids (retry pass); None = identity.
-        Returns the "record"-tagged device_out token entry."""
+        Per-row arrays are laid out in shard-major column space
+        (self._cols_of). Returns the "record"-tagged token entry."""
         self._ensure_record_tables()
         seeds_p = self._pad_seeds(seeds)
+        S = self.S
         nrows = len(rows) if row_map is None else row_map.size
-        row_ok = np.ones(R, dtype=bool)
-        for r in host_rows:
-            row_ok[r] = False
-        row_first = np.zeros(R, dtype=np.uint32)
-        row_len = np.zeros(R, dtype=np.int32)
+        row_ok = np.ones(S * R, dtype=bool)
+        if host_rows:
+            row_ok[self._cols_of(np.fromiter(host_rows, dtype=np.int64,
+                                             count=len(host_rows)), R)] = False
+        row_first = np.zeros(S * R, dtype=np.uint32)
+        row_len = np.zeros(S * R, dtype=np.int32)
+        cols = self._cols_of(np.arange(nrows), R)
         if row_map is None:
             for row, (i, read) in enumerate(rows):
-                row_first[row] = first_raws[i]
-                row_len[row] = read.size
+                row_first[cols[row]] = first_raws[i]
+                row_len[cols[row]] = read.size
         else:
             for sub, orig in enumerate(row_map):
                 i, read = rows[orig]
-                row_first[sub] = first_raws[i]
-                row_len[sub] = read.size
+                row_first[cols[sub]] = first_raws[i]
+                row_len[cols[sub]] = read.size
         trip_cap = 8 * R
         self.dispatch_shapes.add(
             ("record", phases, R, trip_cap, reads_T.shape, seeds_p[0].shape))
-        packed, self.cov_diff = _log_search_record(
-            self.di, self.rt, jnp.asarray(reads_T), jax.device_put(carry),
-            *(jnp.asarray(a) for a in seeds_p),
-            jnp.asarray(row_ok), jnp.asarray(row_first),
-            jnp.asarray(row_len), self.cov_diff, phases, R, trip_cap,
-            blocks=self.blocks, rank=self.rank)
+        packed, self.cov_diff = self._run_record(
+            reads_T, carry, seeds_p, row_ok, row_first, row_len,
+            phases, R, trip_cap)
         return ("record", packed, R, trip_cap)
+
+    def _empty_carry_np(self, nrows: int):
+        """Global-space stand-in when nothing was dispatched."""
+        z = np.zeros(0, np.int32)
+        return (np.full(0, -1, np.int32), z, z, z,
+                np.zeros(max(nrows, 1), dtype=bool))
 
     def scan_complete(self, token):
         """Blocks on a scan_submit token; returns (results_skeleton,
-        rows, carry_np, log_parent, log_event, seed arrays, host_rows)."""
+        rows, carry_np, log_parent, log_event, seed arrays, host_rows)
+        with carry/overflow in GLOBAL row space."""
         import time
 
         results, rows, device_out, seeds, host_rows, carry, reads_T = token
@@ -871,13 +1100,15 @@ class LogBatchedEngine:
             # result tree packed on device -> ONE host<->device round
             # trip (each leaf fetched separately pays a full relay trip)
             carry_np, log_parent, log_event = _unpack_result(
-                jax.device_get(flat), phases, R, self.di.n_outcomes)
+                jax.device_get(flat), phases, R, self.di.n_outcomes,
+                n_shards=self.S)
             t0 = self._tick("complete_get", t0)
             carry_np, log_parent, log_event = self._retry_overflow(
-                carry_np, log_parent, log_event, carry, reads_T, len(rows))
+                carry_np, log_parent, log_event, carry, reads_T, len(rows),
+                R)
             self._tick("complete_retry", t0)
         else:
-            carry_np = carry
+            carry_np = self._empty_carry_np(len(rows))
             log_parent = log_event = np.empty(0, dtype=np.int32)
         return (results, rows, carry_np, log_parent, log_event, seeds,
                 host_rows)
@@ -895,11 +1126,59 @@ class LogBatchedEngine:
             self._sticky_retry_pool, 32768,
             _next_pow2(2 * max(n_sel_states, 1)), _next_pow2(8 * R2))
         pool_r = min(self.cfg.pool, self._sticky_retry_pool)
-        hits_r = self.cfg.hits * max(self.hits_boost, 2)
+        hits_r = (self.cfg.hits * max(1, self._sticky_R // 8192)
+                  * max(self.hits_boost, 2))
         return R2, pool_r, hits_r
 
+    def _globalise_init_rid(self, init_read_id):
+        """Init-carry read ids are per-shard local: map to global rows."""
+        if self.S == 1:
+            return init_read_id
+        pool0 = init_read_id.size // self.S
+        shard = np.arange(init_read_id.size) // pool0
+        return np.where(init_read_id >= 0,
+                        init_read_id * self.S + shard, -1)
+
+    def _relayout_retry(self, init_carry, ovf_rows, reads_T, nrows):
+        """Build the retry pass's carry/read matrix: the overflowed rows
+        re-numbered 0..n_ovf-1 and redistributed over shards, their pass-1
+        seed states replayed from the init carry (same seed list / log
+        references). Returns (carry2, reads_T2, p2, R2) or None when the
+        retry is not worth it / does not fit."""
+        init_read_id, init_lo, init_hi, init_pref = init_carry[:4]
+        init_rid_g = self._globalise_init_rid(init_read_id)
+        row_map = np.full(nrows, -1, dtype=np.int32)
+        row_map[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
+        sel = np.flatnonzero(
+            (init_rid_g >= 0)
+            & np.isin(init_rid_g, ovf_rows, assume_unique=False))
+        if sel.size > self.cfg.pool:
+            return None
+        S = self.S
+        R2, pool_r, hits_r = self._retry_shapes(-(-ovf_rows.size // S),
+                                                sel.size)
+        retry_rows = row_map[init_rid_g[sel]]
+        slot, keep, spilled = self._place_states(retry_rows, pool_r)
+        if spilled.size:          # shard pool cannot hold the retry states
+            return None
+        carry2 = (np.full(S * pool_r, -1, np.int32),
+                  np.zeros(S * pool_r, np.int32),
+                  np.zeros(S * pool_r, np.int32),
+                  np.zeros(S * pool_r, np.int32),
+                  np.zeros(S * R2, dtype=bool))
+        carry2[0][slot] = (retry_rows // S).astype(np.int32)
+        carry2[1][slot] = init_lo[sel]
+        carry2[2][slot] = init_hi[sel]
+        carry2[3][slot] = init_pref[sel]     # same seed list / pass-1 log
+        reads_T2 = np.zeros((reads_T.shape[0], S * R2), dtype=reads_T.dtype)
+        cols_src = self._cols_of(ovf_rows, reads_T.shape[1] // S)
+        cols_dst = self._cols_of(np.arange(ovf_rows.size), R2)
+        reads_T2[:, cols_dst] = reads_T[:, cols_src]
+        p2 = ((reads_T.shape[0], pool_r, hits_r),)
+        return carry2, reads_T2, p2, R2
+
     def _retry_overflow(self, carry_np, log_parent, log_event, init_carry,
-                        reads_T, nrows):
+                        reads_T, nrows, R):
         """One full-budget device re-scan of reads the phased plan
         overflowed (budget spill or pool shrink), before any host
         fallback. The genealogy-log encoding makes the merge linear:
@@ -916,35 +1195,15 @@ class LogBatchedEngine:
             return carry_np, log_parent, log_event
         import logging
 
-        init_read_id, init_lo, init_hi, init_pref, _ = init_carry
-        row_map = np.full(nrows, -1, dtype=np.int32)
-        row_map[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
-        sel = np.flatnonzero(
-            (init_read_id >= 0)
-            & np.isin(init_read_id, ovf_rows, assume_unique=False))
-        if sel.size > self.cfg.pool:
+        relayout = self._relayout_retry(init_carry, ovf_rows, reads_T, nrows)
+        if relayout is None:
             return carry_np, log_parent, log_event
-        R2, pool_r, hits_r = self._retry_shapes(ovf_rows.size, sel.size)
-        cfg_r = LogConfig(pool=pool_r, hits=hits_r)
-        carry2 = empty_log_carry(R2, cfg_r)
-        rid2, lo2, hi2, pref2, _ = carry2
-        n2 = sel.size
-        rid2[:n2] = row_map[init_read_id[sel]]
-        lo2[:n2] = init_lo[sel]
-        hi2[:n2] = init_hi[sel]
-        pref2[:n2] = init_pref[sel]          # same seed list
-        reads_T2 = np.zeros((reads_T.shape[0], R2), dtype=reads_T.dtype)
-        reads_T2[:, :ovf_rows.size] = reads_T[:, ovf_rows]
-
-        steps = reads_T.shape[0]
-        p2 = ((steps, pool_r, hits_r),)
+        carry2, reads_T2, p2, R2 = relayout
         self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
                                   tuple(a.shape for a in carry2)))
-        flat2 = _log_search_packed(self.di, jnp.asarray(reads_T2),
-                                   jax.device_put(carry2), p2, R2,
-                                   blocks=self.blocks, rank=self.rank)
+        flat2 = self._run_packed(reads_T2, carry2, p2, R2)
         c2, lp2, le2 = _unpack_result(jax.device_get(flat2), p2, R2,
-                                      self.di.n_outcomes)
+                                      self.di.n_outcomes, n_shards=self.S)
         lp2 = lp2.copy()
         L1 = log_parent.size
         lp2[lp2 >= 0] += L1
@@ -1034,7 +1293,10 @@ class LogBatchedEngine:
             return
         from .record_jax import finalise_cov_diff
 
-        counts = finalise_cov_diff(jax.device_get(self.cov_diff))
+        diff = jax.device_get(self.cov_diff)
+        if diff.ndim == 2:          # mesh: one diff array per shard
+            diff = diff.sum(axis=0)
+        counts = finalise_cov_diff(diff)
         g = self.idx.graph
         if g.coverage.size:
             merged = g.coverage.astype(np.int64) + counts
@@ -1062,7 +1324,7 @@ class LogBatchedEngine:
         flat = jax.device_get(packed)
         t0 = self._tick("complete_get", t0)
         ovf, fallback, mapped, loci_rows = _unpack_record_result(
-            flat, R, trip_cap)
+            flat, R, trip_cap, n_shards=self.S)
         nrows = len(rows)
         fold_loci_rows(coverage, loci_rows)
 
@@ -1071,31 +1333,15 @@ class LogBatchedEngine:
         if ovf_rows.size > max(0.02 * nrows, 8):
             self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
         if (ovf_rows.size >= self.retry_min and reads_T.shape[0] > 0):
-            init_read_id, init_lo, init_hi, init_pref, _ = carry
-            sel = np.flatnonzero(
-                (init_read_id >= 0) & np.isin(init_read_id, ovf_rows))
-            if sel.size <= self.cfg.pool:
-                R2, pool_r, hits_r = self._retry_shapes(ovf_rows.size,
-                                                        sel.size)
-                row_remap = np.full(nrows, -1, dtype=np.int32)
-                row_remap[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
-                carry2 = empty_log_carry(R2, LogConfig(pool=pool_r,
-                                                       hits=hits_r))
-                rid2, lo2, hi2, pref2, _ = carry2
-                n2 = sel.size
-                rid2[:n2] = row_remap[init_read_id[sel]]
-                lo2[:n2] = init_lo[sel]
-                hi2[:n2] = init_hi[sel]
-                pref2[:n2] = init_pref[sel]     # same seed list
-                reads_T2 = np.zeros((reads_T.shape[0], R2), reads_T.dtype)
-                reads_T2[:, :ovf_rows.size] = reads_T[:, ovf_rows]
-                p2 = ((reads_T.shape[0], pool_r, hits_r),)
+            relayout = self._relayout_retry(carry, ovf_rows, reads_T, nrows)
+            if relayout is not None:
+                carry2, reads_T2, p2, R2 = relayout
                 dev2 = self._dispatch_record(
                     rows, reads_T2, carry2, seeds, set(), first_raws, p2, R2,
                     row_map=ovf_rows)
                 _, packed2, _, tc2 = dev2
                 ovf2, fb2, mapped2, loci2 = _unpack_record_result(
-                    jax.device_get(packed2), R2, tc2)
+                    jax.device_get(packed2), R2, tc2, n_shards=self.S)
                 if loci2.shape[0]:
                     loci2[:, 0] = ovf_rows[loci2[:, 0]]
                     fold_loci_rows(coverage, loci2)

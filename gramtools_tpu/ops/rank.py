@@ -172,10 +172,19 @@ def make_packed_occ_rows(blocks, size: int, use_pallas: bool | None = None,
     di.occ gather in search_jax_log._build_log_step.
 
     blocks: (nblocks, 24) uint32 device array. use_pallas: None = auto
-    (pallas on TPU backends, jnp elsewhere).
+    (pallas on TPU devices, jnp elsewhere). Auto-detection goes by the
+    device kind, NOT the backend name: relayed TPU backends (e.g. the
+    axon relay) register under their own platform name, so a backend
+    string test would silently route production onto the jnp fallback.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import logging
+        kind = jax.devices()[0].device_kind.lower()
+        use_pallas = "tpu" in kind
+        logging.getLogger("gramtools_tpu").info(
+            "packed rank path: %s (device_kind=%r)",
+            "pallas" if use_pallas else "jnp fallback",
+            jax.devices()[0].device_kind)
 
     def occ_rows(rows):
         shape = rows.shape

@@ -39,7 +39,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..mapping.search_jax import DeviceIndex
+from ..mapping.device_index import DeviceIndex
 from ..mapping.search_jax_log import (
     LogConfig,
     _log_search_phases,

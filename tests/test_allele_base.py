@@ -9,7 +9,7 @@ import pytest
 
 from gramtools_tpu.index.build import build_prg_index
 from gramtools_tpu.mapping.coverage import record_per_base
-from gramtools_tpu.mapping.coverage_vec import record_per_base_batch
+from gramtools_tpu.mapping.coverage_fast import record_per_base_batch
 from gramtools_tpu.mapping.search import SearchState
 from gramtools_tpu.prg.linearise import (PrgString, encode_prg,
                                          normalise_legacy_end_markers,

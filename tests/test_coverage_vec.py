@@ -7,7 +7,7 @@ from gramtools_tpu.index.kmer_index import build_kmer_index
 from gramtools_tpu.common.seq import revcomp
 from gramtools_tpu.mapping.coverage import (record_per_base,
                                             select_mapping_instance)
-from gramtools_tpu.mapping.coverage_vec import record_per_base_batch
+from gramtools_tpu.mapping.coverage_fast import record_per_base_batch
 from gramtools_tpu.mapping.quasimap import all_read_kmers_in_index
 from gramtools_tpu.mapping.search import search_read_backwards
 from gramtools_tpu.prg.linearise import PrgString, prg_string_to_ints

@@ -14,8 +14,6 @@ from gramtools_tpu.index.build import build_prg_index
 from gramtools_tpu.index.kmer_index import build_kmer_index
 from gramtools_tpu.mapping.quasimap import quasimap_reads
 from gramtools_tpu.mapping.search import search_read_backwards
-from gramtools_tpu.mapping.search_jax import BatchedSearchEngine
-from gramtools_tpu.mapping.search_jax_flat import FlatBatchedEngine, FlatConfig
 from gramtools_tpu.mapping.search_jax_log import LogBatchedEngine, LogConfig
 from gramtools_tpu.prg.linearise import PrgString, prg_string_to_ints
 
@@ -51,13 +49,11 @@ HARD_NESTED_PRGS = [
 ]
 
 
-@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine,
-                                        LogBatchedEngine])
 @pytest.mark.parametrize("seed,nested", [(0, False), (1, False), (2, True),
                                          (3, True), (4, True),
                                          (100, "hard0"), (101, "hard1"),
                                          (102, "hard2")])
-def test_batched_matches_host_random(seed, nested, engine_cls):
+def test_batched_matches_host_random(seed, nested):
     rng = np.random.RandomState(seed)
     if isinstance(nested, str):
         prg_str = HARD_NESTED_PRGS[int(nested[-1])]
@@ -70,13 +66,8 @@ def test_batched_matches_host_random(seed, nested, engine_cls):
         pytest.skip("randomly generated inconsistent PRG")
     k = 3
     kmer_index = build_kmer_index(idx, k)
-    if engine_cls is FlatBatchedEngine:
-        # small pool/hit budget exercises the overflow->host path too
-        engine = FlatBatchedEngine(idx, k, FlatConfig(pool=256, hits=64))
-    elif engine_cls is LogBatchedEngine:
-        engine = LogBatchedEngine(idx, k, LogConfig(pool=256, hits=64))
-    else:
-        engine = BatchedSearchEngine(idx, k)
+    # small pool/hit budget exercises the overflow->host path too
+    engine = LogBatchedEngine(idx, k, LogConfig(pool=256, hits=64))
 
     # random reads: some sampled from the prg space, some random
     reads = []
@@ -112,21 +103,18 @@ def test_batched_matches_host_random(seed, nested, engine_cls):
 
 
 @pytest.mark.skipif(not DATA_DIR.exists(), reason="fixtures unavailable")
-@pytest.mark.parametrize("engine_cls", [BatchedSearchEngine, FlatBatchedEngine,
-                                        LogBatchedEngine])
 @pytest.mark.parametrize("fixture,expected_grouped", [
     ("IT1", [{(0,): 1, (1,): 1}, {(0,): 1, (1,): 1}]),
     ("IT2", [{(0, 1): 1}, {(0, 1): 1}]),
     ("IT3", [{(0,): 1, (0, 1): 1}, {(0,): 1}]),
 ])
-def test_device_engine_integration_parity(fixture, expected_grouped,
-                                          engine_cls):
+def test_device_engine_integration_parity(fixture, expected_grouped):
     from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
     prg = PrgString.from_file(DATA_DIR / fixture / "prg.bin")
     idx = build_prg_index(prg)
     # array-backed index exercises the vectorised seeding path
     kmer_index = build_kmer_index_vectorised(idx, 5)
-    engine = engine_cls(idx, 5)
+    engine = LogBatchedEngine(idx, 5)
     stats, coverage = quasimap_reads(
         [str(DATA_DIR / fixture / "reads.fastq")], kmer_index, idx, 5,
         seed=42, engine=engine)

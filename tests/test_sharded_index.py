@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from gramtools_tpu.index.build import build_prg_index
-from gramtools_tpu.mapping.search_jax import DeviceIndex
+from gramtools_tpu.mapping.device_index import DeviceIndex
 from gramtools_tpu.mapping.search_jax_log import (
     LogConfig,
     empty_log_carry,

@@ -53,7 +53,7 @@ def main():
     from gramtools_tpu.mapping.search_jax_log import (
         LogConfig, auto_phases, empty_log_carry)
     from gramtools_tpu.parallel.mesh import make_mesh, make_sharded_log_search
-    from gramtools_tpu.mapping.search_jax import DeviceIndex
+    from gramtools_tpu.mapping.device_index import DeviceIndex
     from gramtools_tpu.prg.linearise import PrgString
 
     rng = np.random.RandomState(9)
