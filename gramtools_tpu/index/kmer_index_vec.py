@@ -301,27 +301,36 @@ class ArrayKmerIndex:
     def batch_all_indexed_matrix(self, mat: np.ndarray) -> np.ndarray:
         """all_kmers_indexed for an equal-length batch (n, L) uint8 with
         no unknown bases: Horner slide over row-aligned windows, no
-        sentinel concatenation."""
+        sentinel concatenation.
+
+        Processed in row chunks with int32 codes (k <= 14 fits 28 bits):
+        the whole-batch int64 version spills the cache past ~10k rows and
+        went superlinear at throughput-mode buffer sizes."""
         n, L = mat.shape
         k = self.kmer_size
         if L < k:
             return np.zeros(n, dtype=bool)
         n_win = L - k + 1
-        m = mat.astype(np.int64) - 1
-        codes = m[:, :n_win].copy()
-        for j in range(1, k):
-            codes <<= 2
-            codes += m[:, j : j + n_win]
         present = self._presence_bitmap()
-        if present is not None:
-            hit = present[codes]
-        else:
-            pos = np.searchsorted(self.codes, codes.reshape(-1))
-            pos_c = np.clip(pos, 0, max(self.codes.size - 1, 0))
-            hit = (((pos < self.codes.size)
-                    & (self.codes[pos_c] == codes.reshape(-1)))
-                   .reshape(codes.shape))
-        return hit.all(axis=1)
+        out = np.empty(n, dtype=bool)
+        chunk = max(1, (1 << 21) // max(n_win, 1))  # ~8MB of int32 codes
+        for c0 in range(0, n, chunk):
+            m = mat[c0:c0 + chunk].astype(np.int32)
+            m -= 1
+            codes = m[:, :n_win].copy()
+            for j in range(1, k):
+                codes <<= 2
+                codes += m[:, j : j + n_win]
+            if present is not None:
+                hit = present[codes]
+            else:
+                pos = np.searchsorted(self.codes, codes.reshape(-1))
+                pos_c = np.clip(pos, 0, max(self.codes.size - 1, 0))
+                hit = (((pos < self.codes.size)
+                        & (self.codes[pos_c] == codes.reshape(-1)))
+                       .reshape(codes.shape))
+            out[c0:c0 + chunk] = hit.all(axis=1)
+        return out
 
     def seed_batch(self, last_kmers: np.ndarray):
         """Vectorised seed lookup for a batch: last_kmers (R, k) uint8.

@@ -23,6 +23,24 @@ class LevelGenotyper:
     def __init__(self, idx: PrgIndex, coverage: Coverage, read_stats,
                  ploidy: int, get_gcp: bool = True,
                  debug_fpath: Optional[str] = None, use_fast: bool = True):
+        # genotyping allocates millions of small container objects that
+        # all survive (sites, alleles, coverage tuples); with the cyclic
+        # GC enabled, recurring full collections over that heap dominate
+        # wall time at ~1M sites. Nothing here creates cycles: pause the
+        # collector for the duration.
+        import gc
+        gc_was_enabled = gc.isenabled()
+        if gc_was_enabled:
+            gc.disable()
+        try:
+            self._init(idx, coverage, read_stats, ploidy, get_gcp,
+                       debug_fpath, use_fast)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    def _init(self, idx: PrgIndex, coverage: Coverage, read_stats,
+              ploidy: int, get_gcp: bool, debug_fpath, use_fast: bool):
         self.idx = idx
         self.ploidy = ploidy
         g = idx.graph

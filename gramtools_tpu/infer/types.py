@@ -10,7 +10,7 @@ from dataclasses import dataclass, field, replace
 from typing import List, Optional, Tuple
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Allele:
     sequence: str = ""
     pb_cov: Tuple[int, ...] = ()
@@ -39,7 +39,7 @@ class Allele:
         return sum(self.pb_cov) / len(self.pb_cov)
 
 
-@dataclass
+@dataclass(slots=True)
 class GenotypedSite:
     """gtype_information + site state (interfaces.hpp:39-124)."""
 

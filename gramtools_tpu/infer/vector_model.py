@@ -1,23 +1,25 @@
 """Vectorised level genotyping for simple sites.
 
-A "simple" site is a bubble with no nested children: every haplogroup
-branch is a chain of plain sequence nodes (possibly empty = direct
-deletion), so allele extraction is a slice walk and the model inputs
-(per-allele average coverage, gap fraction, haplogroup coverages) are
-computable as flat arrays over all such sites at once. The likelihood
+A "simple" site is a bubble with no nested children whose every
+haplogroup branch is empty (direct deletion) or a single plain sequence
+node ending at the bubble exit — the shape VCF-built production graphs
+are dominated by. Allele extraction is then a column gather and the
+model inputs (per-allele average coverage, gap fraction, haplogroup
+coverages) are flat arrays over all such sites at once. The likelihood
 arithmetic reproduces LevelGenotyperModel (model.py / reference
 model.cpp) operation-for-operation so calls are bit-identical; the
 scalar model remains the oracle (tests/test_vector_model.py fuzzes
-equality) and handles every non-simple site.
+equality) and handles every non-simple site (nested, multi-node
+branches, >MAX_FAST_ALLELES).
 
-Production graphs are dominated by simple biallelic sites (VCF-built
-SNP/indel records), where the scalar model's per-site Python objects
-cost ~60us/site; this path runs them at ~2us/site.
+Everything up to the final GenotypedSite assembly is columnar numpy;
+the assembly loop touches Python lists only (no numpy scalars), which
+is what lets this path run at >100k sites/s where the scalar model's
+per-site objects cost ~60us/site.
 """
 from __future__ import annotations
 
-from dataclasses import replace
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -32,120 +34,74 @@ DIPLOID = 2
 
 MAX_FAST_ALLELES = 8
 
+# wall-clock of the last batch_simple_sites call's stages (profiling aid)
+LAST_TIMINGS: dict = {}
+
 
 def _decode(seq: np.ndarray) -> str:
     return _DECODE_LUT[seq].tobytes().decode("ascii")
 
 
-class _SimpleSite:
-    """Collected branch data for one candidate site. Each branch is a
-    list of (cov_start, length) segments into the graph's flat
-    coverage/sequence arrays."""
-
-    __slots__ = ("site_index", "segs")
-
-    def __init__(self, site_index: int):
-        self.site_index = site_index
-        self.segs: List[List[tuple]] = []
-
-    def seq(self, flat_seq: str, branch: int) -> str:
-        segs = self.segs[branch]
-        if len(segs) == 1:
-            s, n = segs[0]
-            return flat_seq[s:s + n]
-        return "".join(flat_seq[s:s + n] for s, n in segs)
-
-    def cov(self, flat_cov: np.ndarray, branch: int) -> np.ndarray:
-        parts = [flat_cov[s:s + n] for s, n in self.segs[branch]]
-        if not parts:
-            return np.empty(0, dtype=flat_cov.dtype)
-        return parts[0] if len(parts) == 1 else np.concatenate(parts)
-
-
-def _flat_seq_str(g) -> str:
-    """Decoded base string aligned with the graph's flat coverage array
-    (built once, cached on the graph)."""
-    cached = getattr(g, "_flat_seq_str", None)
+def _flat_seq(g):
+    """(decoded string, uint8 codes) aligned with the graph's flat
+    coverage array (built once, cached on the graph)."""
+    cached = getattr(g, "_flat_seq_pair", None)
     if cached is None:
         flat = np.zeros(g.coverage.size, dtype=np.uint8)
         for nd in g.nodes:
             if nd.cov_start >= 0 and nd.seq.size and nd.in_bubble():
                 flat[nd.cov_start:nd.cov_start + nd.seq.size] = nd.seq
-        cached = g._flat_seq_str = _decode(flat)
+        cached = g._flat_seq_pair = (_decode(flat), flat)
     return cached
 
 
 def _collect_simple_sites(idx: PrgIndex, child_map, ploidy: int):
-    """Walk each childless bubble's branches; returns the per-site branch
-    data for sites the fast path can genotype."""
+    """Columnar branch table of the fast-path sites.
+
+    Returns (site_index (S,), n_alleles (S,), seg_start (S, A),
+    seg_len (S, A)) where a branch's segment is its single sequence
+    node's slice of the flat coverage array; empty branches (direct
+    deletions) have seg_len 0 and seg_start -1. Sites with nested
+    children, >A alleles, multi-node branches, or (diploid) != 2
+    alleles are left to the scalar model."""
     g = idx.graph
     nt = g.node_tables()
     n_edges = nt.n_edges
     edge_offset = nt.edge_offset
     edges = nt.edges
-    seq_len = nt.seq_len
-    cov_start = nt.cov_start
-    site_of = nt.site_id
-    # vectorised pre-pass: for candidate bubbles, classify every branch
-    # as empty (edge straight to exit), one-hop (one seq node to exit),
-    # or "long" (python walk below)
     entries = np.array([e for e, _ in g.bubbles], dtype=np.int64)
     exits = np.array([x for _, x in g.bubbles], dtype=np.int64)
     ne_all = n_edges[entries].astype(np.int64)
-    cand = np.array([site_of[e] not in child_map for e in entries])
+    cand = np.array([nt.site_id[e] not in child_map for e in entries])
     cand &= ne_all <= MAX_FAST_ALLELES
     if ploidy == DIPLOID:
         cand &= ne_all == 2
-    A = int(ne_all[cand].max()) if cand.any() else 0
-    out: List[_SimpleSite] = []
-    if A == 0:
-        return out
+    empty = (np.zeros((0,), np.int64), np.zeros((0,), np.int64),
+             np.zeros((0, 1), np.int64), np.zeros((0, 1), np.int64))
+    if not cand.any():
+        return empty
+    A = int(ne_all[cand].max())
     e0_all = edge_offset[entries].astype(np.int64)
     amask = np.arange(A)[None, :] < ne_all[:, None]
     tgt = edges[np.minimum(e0_all[:, None] + np.arange(A)[None, :],
                            edges.size - 1)].astype(np.int64)
     is_empty = tgt == exits[:, None]
     one_edge = n_edges[tgt] == 1
-    hop2 = edges[np.where(one_edge, edge_offset[tgt],
-                          0)].astype(np.int64)
+    hop2 = edges[np.where(one_edge, edge_offset[tgt], 0)].astype(np.int64)
     is_onehop = ~is_empty & one_edge & (hop2 == exits[:, None])
-    simple_vec = (is_empty | is_onehop | ~amask).all(axis=1) & cand
+    simple = (is_empty | is_onehop | ~amask).all(axis=1) & cand
+    if not simple.any():
+        return empty
 
-    for bi in np.flatnonzero(cand):
-        entry = int(entries[bi])
-        exit_ = int(exits[bi])
-        ne = int(ne_all[bi])
-        rec = _SimpleSite(site_id_to_index(int(site_of[entry])))
-        if simple_vec[bi]:
-            for b in range(ne):
-                if is_empty[bi, b]:
-                    rec.segs.append([])
-                else:
-                    node = int(tgt[bi, b])
-                    ln = int(seq_len[node])
-                    rec.segs.append([(int(cov_start[node]), ln)]
-                                    if ln > 0 else [])
-            out.append(rec)
-            continue
-        ok = True
-        e0 = int(edge_offset[entry])
-        for b in range(ne):
-            cur = int(edges[e0 + b])
-            segs: List[tuple] = []
-            while cur != exit_:
-                if n_edges[cur] != 1:
-                    ok = False
-                    break
-                ln = int(seq_len[cur])
-                if ln > 0:
-                    segs.append((int(cov_start[cur]), ln))
-                cur = int(edges[edge_offset[cur]])
-            if not ok:
-                break
-            rec.segs.append(segs)
-        if ok and len(rec.segs) > 1:
-            out.append(rec)
-    return out
+    tgt = tgt[simple]
+    is_onehop = is_onehop[simple] & amask[simple]
+    site_index = ((nt.site_id[entries[simple]].astype(np.int64) - 5) // 2)
+    n_alleles = ne_all[simple]
+    seg_len = np.where(is_onehop, nt.seq_len[tgt].astype(np.int64), 0)
+    seg_start = np.where(seg_len > 0,
+                         nt.cov_start[tgt].astype(np.int64), -1)
+    seg_len = np.where(seg_start >= 0, seg_len, 0)
+    return site_index, n_alleles, seg_start, seg_len
 
 
 def batch_simple_sites(idx: PrgIndex, coverage, l_stats: LikelihoodStats,
@@ -155,84 +111,97 @@ def batch_simple_sites(idx: PrgIndex, coverage, l_stats: LikelihoodStats,
     Bit-identical to LevelGenotyperModel on the same inputs (asserted by
     tests); the runner routes any site not in the result to the scalar
     model."""
-    recs = _collect_simple_sites(idx, child_map, ploidy)
-    if not recs:
+    import time as _time
+    _t0 = _time.perf_counter()
+    site_index, n_all, seg_start, seg_len = _collect_simple_sites(
+        idx, child_map, ploidy)
+    LAST_TIMINGS["collect"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    S = site_index.shape[0]
+    if S == 0:
         return {}
+    A = seg_start.shape[1]
     g = idx.graph
     flat_cov = g.coverage
-    flat_seq = _flat_seq_str(g)
-    S = len(recs)
-    A = max(len(r.segs) for r in recs)
-    n_all = np.array([len(r.segs) for r in recs], dtype=np.int64)
+    flat_seq, flat_codes = _flat_seq(g)
+    valid = np.arange(A)[None, :] < n_all[:, None]
 
-    # --- coverage inputs ----------------------------------------------------
-    total = np.zeros(S, dtype=np.int64)
-    hapcov = np.zeros((S, A), dtype=np.int64)
-    singleton = np.zeros((S, A), dtype=np.int64)
-    for si, rec in enumerate(recs):
-        for group, count in coverage.grouped_counts[rec.site_index].items():
-            total[si] += count
+    # --- coverage inputs (per-site grouped-count dicts) ----------------------
+    # plain-Python accumulators: indexing lists with numpy scalars and
+    # numpy element updates cost ~1us each, which dominates at 1M sites
+    site_index_l = site_index.tolist()
+    total_py = [0] * S
+    hap_py = [[0] * A for _ in range(S)]
+    single_py = [[0] * A for _ in range(S)]
+    shared_py = [0] * S  # diploid het pair (0,1)
+    gp_all = coverage.grouped_counts
+    for si in range(S):
+        tot = 0
+        row = hap_py[si]
+        for group, count in gp_all[site_index_l[si]].items():
+            tot += count
             for allele_id in group:
                 if allele_id < A:
-                    hapcov[si, allele_id] += count
-            if len(group) == 1 and group[0] < A:
-                singleton[si, group[0]] = count
+                    row[allele_id] += count
+            if len(group) == 1:
+                if group[0] < A:
+                    single_py[si][group[0]] = count
+            elif 0 in group and 1 in group:
+                shared_py[si] += count
+        total_py[si] = tot
+    total = np.array(total_py, dtype=np.int64)
+    hapcov = np.array(hap_py, dtype=np.int64)
+    singleton = np.array(single_py, dtype=np.int64)
+    shared01 = np.array(shared_py, dtype=np.int64)
+    LAST_TIMINGS["cov_inputs"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     # per-allele average coverage + non-credible fraction (model.cpp
     # uses sum/len over per-base counts; empty alleles take the
-    # haplogroup coverage as a single pseudo-base). Segment sums come
-    # from two graph-wide cumsums, O(1) per segment.
+    # haplogroup coverage as a single pseudo-base). Single-segment
+    # branches make the sums direct prefix-sum gathers.
     t = l_stats.credible_cov_t
     csum = np.zeros(flat_cov.size + 1, dtype=np.int64)
     np.cumsum(flat_cov, out=csum[1:])
     ncred = np.zeros(flat_cov.size + 1, dtype=np.int64)
     np.cumsum(flat_cov < t, out=ncred[1:])
-    seg_start, seg_len, seg_flat = [], [], []
-    for si, rec in enumerate(recs):
-        for ai, segs in enumerate(rec.segs):
-            for s0, n in segs:
-                seg_start.append(s0)
-                seg_len.append(n)
-                seg_flat.append(si * A + ai)
-    seg_start = np.array(seg_start, dtype=np.int64)
-    seg_len = np.array(seg_len, dtype=np.int64)
-    seg_flat = np.array(seg_flat, dtype=np.int64)
-    sums = np.zeros(S * A, dtype=np.int64)
-    ncreds = np.zeros(S * A, dtype=np.int64)
-    lens = np.zeros(S * A, dtype=np.int64)
-    if seg_start.size:
-        np.add.at(sums, seg_flat, csum[seg_start + seg_len] - csum[seg_start])
-        np.add.at(ncreds, seg_flat,
-                  ncred[seg_start + seg_len] - ncred[seg_start])
-        np.add.at(lens, seg_flat, seg_len)
-    sums = sums.reshape(S, A)
-    ncreds = ncreds.reshape(S, A)
-    lens = lens.reshape(S, A)
-    nonempty = lens > 0
-    safe_len = np.where(nonempty, lens, 1)
+    nonempty = seg_len > 0
+    s0 = np.where(nonempty, seg_start, 0)
+    s1 = s0 + seg_len
+    sums = np.where(nonempty, csum[s1] - csum[s0], 0)
+    ncreds = np.where(nonempty, ncred[s1] - ncred[s0], 0)
+    safe_len = np.where(nonempty, seg_len, 1)
     avg = np.where(nonempty, sums / safe_len, hapcov.astype(np.float64))
     gap = np.where(nonempty, ncreds / safe_len,
                    (hapcov < t).astype(np.float64))
 
-    valid = np.arange(A)[None, :] < n_all[:, None]
-
     # --- likelihoods (exact op order of model.py _add_likelihood) -----------
     log_err = l_stats.log_mean_pb_error
     log_zero = l_stats.log_zero
-    pmf = l_stats.pmf_full_depth.vectorised(np.where(valid, avg, 0.0))
+    # pmf per allele via unique (sum, len) pairs: avg has small integer
+    # structure (sums/len; empty alleles hapcov/1), so the scalar pmf --
+    # bit-identical to the oracle by construction -- runs once per
+    # distinct value instead of per allele
+    M = int(safe_len.max()) + 1
+    key = np.where(nonempty, sums * M + seg_len, hapcov * M + 1)
+    vkey = key[valid]
+    uniq, inv = np.unique(vkey, return_inverse=True)
+    pmf_scalar = l_stats.pmf_full_depth
+    pmf_uniq = np.array([pmf_scalar((u // M) / (u % M) if u % M else 0.0)
+                         for u in uniq.tolist()])
+    pmf = np.full(valid.shape, pmf_scalar(0.0))
+    pmf[valid] = pmf_uniq[inv]
     mean_cov = l_stats.data_params.mean_cov
-
-    sites: Dict[int, GenotypedSite] = {}
 
     if ploidy == HAPLOID:
         incompat = (total[:, None] - hapcov).astype(np.float64)
         ll = (incompat * log_err + pmf) + gap * log_zero
         ll = np.where(valid, ll, -np.inf)
         order = np.argsort(-ll, axis=1, kind="stable")
-        best = order[:, 0]
-        second = order[:, 1]
+        best_l = order[:, 0].tolist()
+        second_l = order[:, 1].tolist()
         ar = np.arange(S)
-        conf = ll[ar, best] - ll[ar, second]
+        conf_l = (ll[ar, order[:, 0]] - ll[ar, order[:, 1]]).tolist()
     else:
         # A == 2 enforced at collection: entries in multimap insertion
         # order are hom(0), hom(1), het(0,1) (model.cpp order)
@@ -244,101 +213,198 @@ def batch_simple_sites(idx: PrgIndex, coverage, l_stats: LikelihoodStats,
         ll_hom = (((incompat_hom * log_err + pmf) + gz) + pmf) + gz
         ll_hom = np.where(valid, ll_hom, -np.inf)
         # heterozygous pair: shared coverage apportioned by belonging
-        shared = np.zeros(S, dtype=np.int64)
-        for si, rec in enumerate(recs):
-            for group, count in coverage.grouped_counts[rec.site_index].items():
-                if 0 in group and 1 in group:
-                    shared[si] += count
-        sh = shared.astype(np.float64)
+        sh = shared01.astype(np.float64)
         spec0, spec1 = h0 - sh, h1 - sh
         denom = spec0 + spec1
         with np.errstate(invalid="ignore", divide="ignore"):
-            belonging = np.where(denom == 0, 0.5, spec0 / np.where(denom == 0,
-                                                                   1.0, denom))
+            belonging = np.where(denom == 0, 0.5,
+                                 spec0 / np.where(denom == 0, 1.0, denom))
         c0 = h0 - (1 - belonging) * sh
         c1 = h1 - belonging * sh
-        het_ok = (singleton[:, 0] != 0) & (singleton[:, 1] != 0)
+        het_ok_l = ((singleton[:, 0] != 0) & (singleton[:, 1] != 0)).tolist()
         incompat_het = total.astype(np.float64) - c0 - c1
         ll_het = ((((incompat_het * log_err) + pmf[:, 0]) + gz[:, 0])
                   + pmf[:, 1]) + gz[:, 1]
-        ll_het = np.where(het_ok, ll_het, -np.inf)
+        ll_hom0_l = ll_hom[:, 0].tolist()
+        ll_hom1_l = ll_hom[:, 1].tolist()
+        ll_het_l = ll_het.tolist()
+        c_hom_l = c_hom.tolist()
+        c0_l = c0.tolist()
+        c1_l = c1.tolist()
 
-    def _alleles_of(rec: _SimpleSite, indices) -> List[Allele]:
-        return [Allele(rec.seq(flat_seq, i),
-                       tuple(int(c) for c in rec.cov(flat_cov, i)), i)
-                for i in indices]
+    LAST_TIMINGS["likelihoods"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    # --- duplicate-sequence (AMBIG) detection, vectorised ---------------------
+    # two branches share a sequence iff their packed (length, content)
+    # codes match; sequences longer than _PACK bases (rare) fall back to
+    # a per-site string comparison in the assembly loop
+    _PACK = 16  # 3 bits/base * 16 + length in the high bits
+    slen_sorted = np.sort(np.where(valid, seg_len, -np.arange(A)[None, :] - 1),
+                          axis=1)
+    dup_cand = (slen_sorted[:, 1:] == slen_sorted[:, :-1]).any(axis=1)
+    ambig = np.zeros(S, dtype=bool)
+    needs_str = np.zeros(S, dtype=bool)
+    cand_rows = np.flatnonzero(dup_cand)
+    if cand_rows.size:
+        sub_start = seg_start[cand_rows]
+        sub_len = seg_len[cand_rows]
+        sub_valid = valid[cand_rows]
+        too_long = ((sub_len > _PACK) & sub_valid).any(axis=1)
+        code = sub_len.astype(np.int64) << 48
+        top = int(min(sub_len.max(initial=0), _PACK))
+        for j in range(top):
+            m = sub_len > j
+            idx = np.where(m, sub_start + j, 0)
+            code |= np.where(m, flat_codes[idx].astype(np.int64) << (3 * j),
+                             0)
+        code = np.where(sub_valid, code,
+                        -1 - np.arange(A, dtype=np.int64)[None, :])
+        cs = np.sort(code, axis=1)
+        dup = (cs[:, 1:] == cs[:, :-1]).any(axis=1)
+        ambig[cand_rows] = dup & ~too_long
+        needs_str[cand_rows] = too_long
 
-    # --- assemble sites (small per-site Python; heavy math done above) -----
-    for si, rec in enumerate(recs):
-        nA = int(n_all[si])
+    LAST_TIMINGS["ambig"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    # --- assembly (pure-Python loop over plain scalars) ----------------------
+    # everything the loop touches is pre-gathered into flat column lists
+    # (nested .tolist() rows and numpy-scalar indexing cost more than the
+    # whole likelihood math at 1M sites)
+    flat_cov_l = flat_cov.tolist()
+    site_index_l = site_index  # already a list
+    n_all_l = n_all.tolist()
+    total_l = total.tolist()
+    sing0_l = singleton[:, 0].tolist()
+    ambig_l = ambig.tolist()
+    needs_str_l = needs_str.tolist()
+    quarter_mean = mean_cov / 4
+    ar = np.arange(S)
+    st0_l = seg_start[:, 0].tolist()
+    ln0_l = seg_len[:, 0].tolist()
+    if ploidy == HAPLOID:
+        bcol = order[:, 0]
+        scol = order[:, 1]
+        stb_l = seg_start[ar, bcol].tolist()
+        lnb_l = seg_len[ar, bcol].tolist()
+        sts_l = seg_start[ar, scol].tolist()
+        lns_l = seg_len[ar, scol].tolist()
+        hb_l = hapcov[ar, bcol].tolist()
+        hs_l = hapcov[ar, scol].tolist()
+    else:
+        st1_l = seg_start[:, 1].tolist()
+        ln1_l = seg_len[:, 1].tolist()
+        h0_l = hapcov[:, 0].tolist()
+        h1_l = hapcov[:, 1].tolist()
+
+    def mk_allele(s, n, i, callable=True):
+        if n:
+            return Allele(flat_seq[s:s + n], tuple(flat_cov_l[s:s + n]), i,
+                          callable)
+        return Allele("", (), i, callable)
+
+    LAST_TIMINGS["gather_lists"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    sites: Dict[int, GenotypedSite] = {}
+    for si in range(S):
+        nA = n_all_l[si]
         site = GenotypedSite()
         site.num_haplogroups = nA
-        seqs = [rec.seq(flat_seq, i) for i in range(nA)]
-        if len(set(seqs)) < nA:
-            site.set_filter("AMBIG")
-        tot = int(total[si])
+        if ambig_l[si]:
+            site.filters.append("AMBIG")
+        elif needs_str_l[si]:
+            starts = seg_start[si]
+            lens = seg_len[si]
+            seqs = [flat_seq[starts[i]:starts[i] + lens[i]]
+                    for i in range(nA)]
+            if len(set(seqs)) < nA:
+                site.filters.append("AMBIG")
+        tot = total_l[si]
         if tot == 0 or mean_cov == 0:
-            site.alleles = _alleles_of(rec, [0])
+            site.alleles = [mk_allele(st0_l[si], ln0_l[si], 0)]
             site.make_null()
-            sites[rec.site_index] = site
+            sites[site_index_l[si]] = site
             continue
 
         if ploidy == HAPLOID:
-            b, s2 = int(best[si]), int(second[si])
-            gt_conf = float(conf[si])
-            chosen_gt, next_gt = [b], [s2]
-        else:
-            entries = [(float(ll_hom[si, 0]), [0, 0]),
-                       (float(ll_hom[si, 1]), [1, 1])]
-            if het_ok[si]:
-                entries.append((float(ll_het[si]), [0, 1]))
-            ordered = sorted(entries, key=lambda e: -e[0])
-            gt_conf = ordered[0][0] - ordered[1][0]
-            chosen_gt, next_gt = ordered[0][1], ordered[1][1]
+            gt_conf = conf_l[si]
+            b = best_l[si]
+            s2 = second_l[si]
+            if gt_conf == 0.0:
+                site.alleles = [mk_allele(st0_l[si], ln0_l[si], 0)]
+                site.make_null()
+                a_b = mk_allele(stb_l[si], lnb_l[si], b)
+                a_s = mk_allele(sts_l[si], lns_l[si], s2)
+                site.extra_alleles = ([a_b, a_s] if b < s2 else [a_s, a_b])
+                sites[site_index_l[si]] = site
+                continue
+            if tot < quarter_mean or hb_l[si] < hs_l[si] * 2:
+                # extra alleles (model.cpp:335-360)
+                site.extra_alleles = [mk_allele(sts_l[si], lns_l[si], s2,
+                                                callable=False)]
+            if b == 0:
+                site.alleles = [mk_allele(st0_l[si], ln0_l[si], 0)]
+                site.genotype = [0]
+                site.allele_covs = [float(hb_l[si])]
+            else:
+                site.alleles = [mk_allele(st0_l[si], ln0_l[si], 0),
+                                mk_allele(stb_l[si], lnb_l[si], b)]
+                site.genotype = [1]
+                site.allele_covs = [float(sing0_l[si]), float(hb_l[si])]
+            site.total_coverage = tot
+            site.haplogroups = [b]
+            site.gt_conf = gt_conf
+            sites[site_index_l[si]] = site
+            continue
+
+        # --- diploid (A == 2) -------------------------------------------
+        entries = [(ll_hom0_l[si], [0, 0]), (ll_hom1_l[si], [1, 1])]
+        if het_ok_l[si]:
+            entries.append((ll_het_l[si], [0, 1]))
+        ordered = sorted(entries, key=lambda e: -e[0])
+        gt_conf = ordered[0][0] - ordered[1][0]
+        chosen_gt, next_gt = ordered[0][1], ordered[1][1]
 
         if gt_conf == 0.0:
-            site.alleles = _alleles_of(rec, [0])
+            site.alleles = [mk_allele(st0_l[si], ln0_l[si], 0)]
             site.make_null()
             all_best = sorted(set(next_gt) | set(chosen_gt))
-            site.extra_alleles = _alleles_of(rec, all_best)
-            sites[rec.site_index] = site
+            col = ((st0_l[si], ln0_l[si]), (st1_l[si], ln1_l[si]))
+            site.extra_alleles = [mk_allele(col[i][0], col[i][1], i)
+                                  for i in all_best]
+            sites[site_index_l[si]] = site
             continue
 
         # extra alleles (model.cpp:335-360)
-        low_total = tot < mean_cov / 4
-        low_rel = (hapcov[si, chosen_gt[0]] < hapcov[si, next_gt[0]] * 2)
-        if low_total or low_rel:
+        hrow = (h0_l[si], h1_l[si])
+        col = ((st0_l[si], ln0_l[si]), (st1_l[si], ln1_l[si]))
+        if tot < quarter_mean or hrow[chosen_gt[0]] < hrow[next_gt[0]] * 2:
             extra = sorted(set(next_gt) - set(chosen_gt))
-            if extra:
-                site.extra_alleles = [replace(a, callable=False)
-                                      for a in _alleles_of(rec, extra)]
-            else:
-                site.extra_alleles = []
+            site.extra_alleles = [mk_allele(col[i][0], col[i][1], i,
+                                            callable=False)
+                                  for i in extra]
 
-        chosen_sorted = sorted(set(chosen_gt))
-        chosen_alleles = _alleles_of(rec, chosen_sorted)
-        if ploidy == HAPLOID:
-            allele_covs = [float(hapcov[si, chosen_gt[0]])]
-            rescaled = [0] if chosen_gt[0] == 0 else [1]
+        g0, g1 = chosen_gt
+        chosen_alleles = [mk_allele(col[g0][0], col[g0][1], g0)] \
+            if g0 == g1 else [mk_allele(col[0][0], col[0][1], 0),
+                              mk_allele(col[1][0], col[1][1], 1)]
+        if g0 == g1:  # homozygous: pooled halves
+            half = c_hom_l[si][g0]
+            allele_covs = [half + half]
         else:
-            g0, g1 = chosen_gt
-            if g0 == g1:  # homozygous: pooled halves
-                half = float(c_hom[si, g0])
-                allele_covs = [half + half]
-            else:
-                allele_covs = [float(c0[si]), float(c1[si])]
-            rescaled = ([0] * 2 if g0 == g1 == 0 else
-                        [1] * 2 if g0 == g1 else [0, 1])
+            allele_covs = [c0_l[si], c1_l[si]]
+        rescaled = ([0] * 2 if g0 == g1 == 0 else
+                    [1] * 2 if g0 == g1 else [0, 1])
         if rescaled[0] != 0:
-            chosen_alleles = _alleles_of(rec, [0]) + chosen_alleles
-            allele_covs = [float(singleton[si, 0])] + allele_covs
+            chosen_alleles = [mk_allele(col[0][0], col[0][1], 0)] \
+                + chosen_alleles
+            allele_covs = [float(sing0_l[si])] + allele_covs
 
         site.alleles = chosen_alleles
         site.genotype = rescaled
         site.allele_covs = allele_covs
         site.total_coverage = tot
-        site.haplogroups = site.get_genotyped_haplogroups(chosen_alleles,
-                                                          rescaled)
+        site.haplogroups = [g0, g1]
         site.gt_conf = gt_conf
-        sites[rec.site_index] = site
+        sites[site_index_l[si]] = site
+    LAST_TIMINGS["assembly"] = _time.perf_counter() - _t0
     return sites
