@@ -99,10 +99,19 @@ def _execute_genotype(geno_report, action, geno_paths, args, kmer_size):
         engine = LogBatchedEngine(idx, kmer_size, mesh=mesh)
 
     log.info("Running quasimap")
+    # device engines default to throughput-mode buffers (one compiled
+    # program per ~40k-row dispatch); the host engine keeps the
+    # reference's 5,000-read buffer so the selection-RNG stream is
+    # bit-identical to the reference binary's
+    buffer_size = None
+    if engine is not None:
+        from ..mapping.quasimap import DEVICE_BUFFER_SIZE
+        buffer_size = DEVICE_BUFFER_SIZE
     with timer.phase("Quasimap"):
         stats, coverage = quasimap_reads(read_files, kmer_index, idx, kmer_size,
                                          seed=args.seed, engine=engine,
-                                         max_threads=getattr(args, "max_threads", 1))
+                                         max_threads=getattr(args, "max_threads", 1),
+                                         buffer_size=buffer_size)
         read_stats.compute_coverage_depth(coverage, idx)
     read_stats.serialise(geno_paths.read_stats)
     log.info("Mapping stats: %s", stats.as_dict())

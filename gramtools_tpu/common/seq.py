@@ -8,6 +8,7 @@ All functions are numpy-vectorised; reads are handled as uint8 arrays.
 """
 from __future__ import annotations
 
+import os
 import gzip
 import io
 from pathlib import Path
@@ -64,7 +65,8 @@ def _open_maybe_gz(path: str | Path, mode: str = "rt"):
 
 def iter_fastx(path: str | Path) -> Iterator[Tuple[str, str, str]]:
     """Yield (name, sequence, quality) records from FASTA, FASTQ, SAM or
-    BAM (.gz ok); CRAM is detected and rejected with a clear error.
+    BAM (.gz ok), or CRAM 3.0 (native decoder, common/cram.py; mapped
+    reference-based slices take the fasta via GRAMTOOLS_TPU_CRAM_REF).
 
     Quality is '' for FASTA. Replaces the vendored kseq-style reader
     (libgramtools include/sequence_read/seq_file.h) for the host path; a
@@ -80,10 +82,14 @@ def iter_fastx(path: str | Path) -> Iterator[Tuple[str, str, str]]:
         yield from iter_bam(path)
         return
     if fmt == "cram":
-        raise ValueError(
-            f"{path}: CRAM input needs htslib's codec suite, which is not "
-            "available in this build; convert to BAM/fastq first "
-            "(e.g. `samtools view -b`)")
+        from .cram import iter_cram_reads
+
+        refs = None
+        ref_env = os.environ.get("GRAMTOOLS_TPU_CRAM_REF")
+        if ref_env:
+            refs = load_fasta(ref_env)
+        yield from iter_cram_reads(path, refs=refs)
+        return
     with _open_maybe_gz(path, "rt") as fh:
         first = fh.read(1)
         if not first:

@@ -24,11 +24,14 @@ from .search import PrgIndex, SearchState, search_read_backwards
 
 # Buffer size 5000 mirrors quasimap.cpp:128 AND pins the per-buffer
 # selection-seed RNG stream to the reference's (one draw per slot,
-# quasimap.cpp:136-137). Overriding via GRAMTOOLS_TPU_BUFFER keeps
-# results self-consistent and shard-invariant but consumes the RNG in a
-# different order than the reference binary would; larger buffers
-# amortise the device scan's per-step latency (throughput mode).
+# quasimap.cpp:136-137). Overriding via GRAMTOOLS_TPU_BUFFER (or the
+# buffer_size argument) keeps results self-consistent and
+# shard-invariant but consumes the RNG in a different order than the
+# reference binary would; larger buffers amortise the device scan's
+# per-step latency. DEVICE_BUFFER_SIZE is the device-engine default
+# (throughput mode): one compiled program per ~40k-row dispatch.
 READS_BUFFER_SIZE = int(os.environ.get("GRAMTOOLS_TPU_BUFFER", "5000"))
+DEVICE_BUFFER_SIZE = int(os.environ.get("GRAMTOOLS_TPU_BUFFER", "20000"))
 
 
 @dataclass
@@ -87,17 +90,19 @@ def quasimap_forward_reverse(read, coverage, kmer_index, idx, kmer_size,
                   selection_seed, first_raw)
 
 
-def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
+def iter_read_buffers(reads_fpath, buffer_size: Optional[int] = None
+                      ) -> Iterable[List[np.ndarray]]:
     """Buffers of int-encoded reads; non-ACGT reads become empty
     (utils.cpp:73-80). Uses the native C++ parser when built."""
     from ..common.sam import detect_format
     from ..index.native import native_read_batches
 
+    size = READS_BUFFER_SIZE if buffer_size is None else buffer_size
     # the native parser only speaks fasta/fastq(.gz); SAM/BAM go through
     # the python decoders in common/sam.py
     native = None
     if detect_format(reads_fpath) in ("fasta", "fastq"):
-        native = native_read_batches(reads_fpath, batch_size=READS_BUFFER_SIZE)
+        native = native_read_batches(reads_fpath, batch_size=size)
     if native is not None:
         for batch in native:
             yield [r if not np.any(r == 0) else np.empty(0, dtype=np.uint8)
@@ -110,7 +115,7 @@ def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
         if np.any(encoded == 0):
             encoded = np.empty(0, dtype=np.uint8)
         buffer.append(encoded)
-        if len(buffer) == READS_BUFFER_SIZE:
+        if len(buffer) == size:
             yield buffer
             buffer = []
     if buffer:
@@ -119,14 +124,17 @@ def iter_read_buffers(reads_fpath) -> Iterable[List[np.ndarray]]:
 
 def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
                    idx: PrgIndex, kmer_size: int, seed: Optional[int] = None,
-                   engine=None, max_threads: int = 1
+                   engine=None, max_threads: int = 1,
+                   buffer_size: Optional[int] = None
                    ) -> "tuple[QuasimapStats, Coverage]":
     """quasimap.cpp:16-141. ``engine`` optionally provides a batched
     (JAX) search path: called with a list of reads, returns per-read
     SearchStates lists, or None entries for reads it could not handle.
     ``max_threads`` > 1 forks worker processes over buffer chunks (the
     reference's OpenMP parallel-for analogue); per-read seeds keep the
-    selection RNG shard-invariant."""
+    selection RNG shard-invariant. ``buffer_size`` overrides the
+    5,000-read reference buffer (throughput mode for device engines;
+    changes the selection-RNG stream order, stays self-consistent)."""
     import logging
     log = logging.getLogger("gramtools_tpu")
 
@@ -134,6 +142,7 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
     coverage = Coverage.empty(idx)
     master_seed_generator = RandomInclusiveInt(seed)
     last_reported = 0
+    size = READS_BUFFER_SIZE if buffer_size is None else buffer_size
 
     pool = _make_pool(max_threads, idx, kmer_index, kmer_size)
     # pipelined engines expose scan_submit/record_complete: the device
@@ -144,15 +153,14 @@ def quasimap_reads(reads_fpaths: List[str], kmer_index: KmerIndex,
     in_flight = None  # (token, selection_seeds, first_raws)
     try:
         for reads_fpath in reads_fpaths:
-            for buffer in iter_read_buffers(reads_fpath):
+            for buffer in iter_read_buffers(reads_fpath, size):
                 # progress every >=10k processed reads (quasimap.cpp:92-101)
                 if stats.all_reads_count - last_reported >= 10000:
                     log.info("processed %d reads", stats.all_reads_count)
                     last_reported = stats.all_reads_count
                 # one seed drawn per buffer slot, even for unfilled slots
                 # (quasimap.cpp:136-137): preserves RNG stream parity
-                selection_seeds = master_seed_generator.raw_block(
-                    READS_BUFFER_SIZE)
+                selection_seeds = master_seed_generator.raw_block(size)
                 first_raws = first_raw_draws(np.asarray(selection_seeds,
                                                         dtype=np.uint32))
                 if pipelined:

@@ -713,6 +713,9 @@ class LogBatchedEngine:
         self.host_fallbacks = 0
         self.device_mapped = 0
         self.device_retried = 0
+        # why rows left the device path (observability for tuning)
+        import collections as _c
+        self.fallback_reasons = _c.Counter()
         # below this many overflowed reads, exact host re-maps beat a
         # second full-budget device scan
         self.retry_min = int(os.environ.get("GRAMTOOLS_TPU_RETRY_MIN", "16"))
@@ -1354,6 +1357,9 @@ class LogBatchedEngine:
         # exact host path for unseeded / still-overflowed / fallback rows
         for row, (i, read) in enumerate(rows):
             if row in host_rows or bool(ovf[row]) or bool(fallback[row]):
+                self.fallback_reasons[
+                    "unseeded" if row in host_rows else
+                    "overflow" if ovf[row] else "record_flagged"] += 1
                 self.host_fallbacks += 1
                 seed = read[read.size - k:].astype(np.uint8).tobytes()
                 seed_states = kmer_index.get(seed, [])

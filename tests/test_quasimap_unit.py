@@ -124,3 +124,92 @@ def test_kmer_absent_no_mapping():
     before = [list(site) for site in s.allele_sum]
     s.map("tgtcta")  # contains kmers absent from prg
     assert s.allele_sum == before
+
+
+# --- remaining test_quasimap.cpp cases (VERDICT r2 item 9) -------------------
+
+
+def test_all_kmers_in_read_must_be_indexed():
+    """test_quasimap.cpp:57-66 (KmersAllInRead)."""
+    from gramtools_tpu.mapping.quasimap import all_read_kmers_in_index
+
+    s = Setup("gct5c6g6t6ag7t8c8cta", kmer_size=2)
+    assert all_read_kmers_in_index(2, encode_dna("gctc"), s.kmer_index)
+    # the kmer index is graph-aware: 'gt'/'tg' exist via paths through
+    # site markers, but 'gg' occurs on no path
+    assert all_read_kmers_in_index(2, encode_dna("gtg"), s.kmer_index)
+    assert not all_read_kmers_in_index(2, encode_dna("ggt"), s.kmer_index)
+
+
+def test_read_ends_in_allele():
+    """test_quasimap.cpp:134-146."""
+    s = Setup("gct5c6g6t6ag7t8c8cta")
+    s.map("gctc")
+    assert s.allele_sum == [[1, 0, 0], [0, 0]]
+
+
+def test_read_starts_in_allele():
+    """test_quasimap.cpp:148-159."""
+    s = Setup("gct5c6g6t6ag7t8c8cta")
+    s.map("tagt")
+    assert s.allele_sum == [[0, 0, 1], [1, 0]]
+
+
+def test_read_with_no_matching_kmer():
+    """test_quasimap.cpp:161-172."""
+    s = Setup("gct5c6g6t6ag7t8ta8")
+    s.map("tagc")
+    assert s.allele_sum == [[0, 0, 0], [0, 0]]
+
+
+def test_read_start_within_single_site_two_alleles():
+    """test_quasimap.cpp:279-292: seed 39 splits coverage over both
+    matching alleles' equivalence class."""
+    s = Setup("c5ccc6agt6ccgt6taa")
+    s.map("gttaa", seed=39)
+    assert s.allele_sum == [[0, 1, 1]]
+
+
+def test_encapsulated_within_two_different_alleles():
+    """test_quasimap.cpp:293-312: one occurrence inside each of two
+    alleles; both count (equivalence-class), per-base coverage exact."""
+    s = Setup("ac5gtagtact6t6gggtagt6ta")
+    s.map("gtagt", seed=42)
+    assert s.allele_sum == [[1, 0, 1]]
+    assert allele_base_non_nested(s.idx) == [
+        [[1, 1, 1, 1, 1, 0, 0, 0], [0], [0, 0, 1, 1, 1, 1, 1]]]
+
+
+def test_mapping_multiple_identical_reads():
+    """test_quasimap.cpp:314-339."""
+    s = Setup("gct5c6g6t6ag7t8c8cta")
+    s.map("tagt")
+    s.map("tagt")
+    assert s.allele_sum == [[0, 0, 2], [2, 0]]
+    assert allele_base_non_nested(s.idx) == [[[0], [0], [2]], [[2], [0]]]
+
+
+def test_mapping_three_reads_identical_kmers():
+    """test_quasimap.cpp:341-367."""
+    s = Setup("gct5c6g6t6ag7t8c8cta")
+    for read in ("gagt", "tagt", "cagt"):
+        s.map(read)
+    assert s.allele_sum == [[1, 1, 1], [3, 0]]
+    assert allele_base_non_nested(s.idx) == [[[1], [1], [1]], [[3], [0]]]
+
+
+def test_mapping_three_reads_different_kmers():
+    """test_quasimap.cpp:369-384."""
+    s = Setup("gct5c6g6t6ag7t8c8cta")
+    for read in ("gagt", "tagt", "cagc"):
+        s.map(read)
+    assert s.allele_sum == [[1, 1, 1], [2, 1]]
+
+
+def test_mapping_three_reads_one_read_maps_twice():
+    """test_quasimap.cpp:386-404: seed 200 picks one of the two
+    occurrences of 'gcact'."""
+    s = Setup("gcac5t6g6c6ta7t8c8cta")
+    for read in ("accta", "gcact"):
+        s.map(read, seed=200)
+    assert s.allele_sum == [[1, 0, 0], [0, 1]]

@@ -94,10 +94,12 @@ def test_sam_bam_yield_original_orientation(tmp_path):
     assert list(iter_fastx(bam)) == expect
 
 
-def test_cram_rejected(tmp_path):
+def test_cram_future_version_rejected(tmp_path):
+    """CRAM 4.x (unknown layout) raises a clear error instead of
+    decoding garbage; 3.x is decoded natively."""
     cram = tmp_path / "a.cram"
-    cram.write_bytes(b"CRAM\x03\x00junk")
-    with pytest.raises(ValueError, match="CRAM"):
+    cram.write_bytes(b"CRAM\x04\x00" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="CRAM version"):
         list(iter_fastx(cram))
 
 
@@ -122,3 +124,23 @@ def test_genotype_from_bam_matches_fastq(tmp_path):
     a = json.load(open(tmp_path / "fq" / "genotype" / "genotyped.json"))
     b = json.load(open(tmp_path / "bam" / "genotype" / "genotyped.json"))
     assert a == b
+
+
+def test_cram_reads_through_iter_fastx(tmp_path):
+    """CRAM is a first-class read input (VERDICT r2 item 8): detected by
+    magic and decoded natively (common/cram.py)."""
+    import numpy as np
+
+    from gramtools_tpu.common.cram import write_cram
+    from gramtools_tpu.common.sam import detect_format
+    from gramtools_tpu.common.seq import iter_fastx
+
+    rng = np.random.RandomState(8)
+    reads = []
+    for i in range(12):
+        seq = "".join(rng.choice(list("ACGT"), size=15))
+        reads.append((f"c{i}", seq, "I" * 15))
+    path = tmp_path / "reads.cram"
+    write_cram(path, reads)
+    assert detect_format(path) == "cram"
+    assert list(iter_fastx(path)) == reads
