@@ -22,7 +22,7 @@ def extract_ref_allele(idx: PrgIndex, start_node: int, end_node: int) -> Allele:
         node = g.node(cur)
         if node.seq_size > 0:
             result = result + Allele(node.seq_str(),
-                                     tuple(int(c) for c in g.node_coverage(cur)))
+                                     tuple(g.node_coverage(cur).tolist()))
         cur = node.edges[0]
     return result
 
@@ -68,7 +68,7 @@ class AlleleExtracter:
             else:
                 if node.seq_size > 0:
                     paste = Allele(node.seq_str(),
-                                   tuple(int(c) for c in g.node_coverage(cur)))
+                                   tuple(g.node_coverage(cur).tolist()))
                     alleles = [a + paste for a in alleles]
             assert len(node.edges) == 1
             cur = node.edges[0]

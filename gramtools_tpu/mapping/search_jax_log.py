@@ -116,7 +116,15 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         cum = jnp.cumsum(cnt)
         total = cum[-1]
         g = jnp.arange(G)
-        s_of_g = jnp.searchsorted(cum, g, side="right") # (G,) state index
+        # hit -> owning state WITHOUT a binary search (a searchsorted
+        # over the pool is log2(N) dependent gather rounds; the scan is
+        # latency-bound, docs/SCAN_LATENCY.md): scatter each hit-bearing
+        # state's index at its first hit slot, prefix-max fills the runs
+        start_of = cum - cnt                             # (N,)
+        marks = jnp.full((G,), -1, jnp.int32).at[
+            jnp.where(cnt > 0, start_of, G)].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")
+        s_of_g = jax.lax.associative_scan(jnp.maximum, marks)
         s_of_g = jnp.clip(s_of_g, 0, N - 1)
         hit_ok = g < jnp.minimum(total, G)
         cum_before = cum[s_of_g] - cnt[s_of_g]

@@ -23,7 +23,10 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU backend: the environment's sitecustomize pre-sets
+# JAX_PLATFORMS to the (single-claim!) relay TPU, so setdefault would
+# silently run this curve on the chip
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -112,7 +115,7 @@ def main():
         t0 = time.time()
         for _ in range(REPS):
             out = run(jnp.asarray(reads_T), jax.device_put(carry))
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)   # per-rep: no overlap ambiguity
         dt = (time.time() - t0) / REPS
         rps = R_total / dt
         if base_rps is None:
