@@ -354,6 +354,7 @@ def main():
         out["stage_seconds"] = {k: round(v, 3)
                                 for k, v in sorted(engine.timers.items())}
         out["steady_state_new_shapes"] = new_shapes  # 0 = no recompiles
+        out["fallback_reasons"] = dict(engine.fallback_reasons)
         print(f"# e2e: {e2e_rps:.0f} reads/s "
               f"({engine.device_mapped} dev, {engine.host_fallbacks} host, "
               f"{engine.device_retried} retried, {new_shapes} new shapes); "

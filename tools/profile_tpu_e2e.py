@@ -107,7 +107,8 @@ def main():
           file=sys.stderr)
     print(f"# retried={engine.device_retried} fallbacks={engine.host_fallbacks} "
           f"hits_boost={engine.hits_boost} "
-          f"shapes={len(engine.dispatch_shapes)}", file=sys.stderr)
+          f"shapes={len(engine.dispatch_shapes)} "
+          f"reasons={dict(engine.fallback_reasons)}", file=sys.stderr)
     print("# engine timers/buffer: "
           + " ".join(f"{k}={v/n*1e3:.0f}ms"
                      for k, v in sorted(engine.timers.items())),
