@@ -59,7 +59,9 @@ from .device_index import DeviceIndex
 # static budgets (overflow -> per-row host fallback). Per-state caps:
 MAX_CHAIN = 32       # genealogy chain depth (events per state)
 TCAP = 16            # traversed/traversing loci per state
-KCAP = 8             # base (level-1) sites per state
+KCAP = 12            # base (level-1) sites per state (a 150bp read
+                     # crosses ~3.4 sites on an M.tb-density graph;
+                     # P(>12) ~ 4e-5 vs P(>8) ~ 1% of mapped rows)
 # Per-buffer expansion budgets scale with the row count (R): fixed
 # budgets worked at 5,000-read buffers but would mass-spill to host
 # fallback at throughput-mode buffer sizes. R is a static (sticky)
@@ -78,6 +80,24 @@ def buffer_caps(R: int):
             max(TRCAP_BASE, (TRCAP_BASE * s) // 10240),
             max(WCAP_BASE, (WCAP_BASE * s) // 10240),
             max(EMITCAP_BASE, (EMITCAP_BASE * s) // 10240))
+
+# fallback reason bits (per-row int32 mask; 0 = no fallback). Kept as
+# a mask all the way to the host so tuning can see WHICH class fires.
+FB_CHAIN = 1        # genealogy chain deeper than MAX_CHAIN / TCAP paths
+FB_ENC = 2          # encapsulated-split expansion spilled ecap
+FB_DUP_SITE = 4     # duplicate site in one state's own path
+FB_TRAV = 8         # traversing-state expansion spilled trcap
+FB_KCAP = 16        # more base sites per state than KCAP
+FB_CONFLICT = 32    # same (state, site) with conflicting alleles
+FB_RNG = 64         # mt19937 uniform_int rejection branch
+FB_TRIPS = 128      # selected loci spilled trip_cap
+FB_WALK = 256       # per-base walk lanes spilled wcap
+FB_EMIT = 512       # per-base emissions spilled emitcap
+FB_NAMES = {FB_CHAIN: "chain_depth", FB_ENC: "encapsulated_spill",
+            FB_DUP_SITE: "dup_site", FB_TRAV: "traversing_spill",
+            FB_KCAP: "kcap", FB_CONFLICT: "allele_conflict",
+            FB_RNG: "rng_rejection", FB_TRIPS: "trip_spill",
+            FB_WALK: "walk_spill", FB_EMIT: "emit_spill"}
 
 _URNG_RANGE = (1 << 32) - 1
 _PAD = -1            # key padding: sorts before any site marker (>= 5)
@@ -263,6 +283,12 @@ def _flag_rows(R, cond, rows):
         True, mode="drop")
 
 
+def _flag_rows_bit(R, cond, rows, bit):
+    """(R,) int32 with `bit` at rows[i] where cond[i]."""
+    return jnp.zeros(R, jnp.int32).at[jnp.where(cond, rows, R)].max(
+        jnp.int32(bit), mode="drop")
+
+
 def _neighbor_diff(*cols):
     """Element i differs from i-1 in any column (True at i=0)."""
     out = None
@@ -301,7 +327,7 @@ def select_and_record_device(
     ar_n = jnp.arange(N)
     rid_c = jnp.clip(f_rid, 0, R - 1)
     alive = (f_rid >= 0) & row_ok[rid_c]
-    fallback = _flag_rows(R, state_bad & alive, rid_c)
+    fallback = _flag_rows_bit(R, state_bad & alive, rid_c, FB_CHAIN)
 
     has_path = (n_trav > 0) | (n_ing > 0)
 
@@ -309,7 +335,7 @@ def select_and_record_device(
     np_mask = alive & ~has_path
     widths = jnp.where(np_mask, f_hi - f_lo + 1, 0).astype(jnp.int32)
     e_item, e_off, e_valid, e_spill = _expand_budget(widths, ecap)
-    fallback |= _flag_rows(R, e_spill, rid_c)
+    fallback |= _flag_rows_bit(R, e_spill, rid_c, FB_ENC)
     occ_sa = jnp.clip(f_lo[e_item] + e_off, 0, di.size - 1)
     occ_node = rt.ra_node[jnp.clip(di.sa[occ_sa], 0,
                                    rt.ra_node.shape[0] - 1)]
@@ -366,7 +392,7 @@ def select_and_record_device(
                       jnp.int32(2 ** 28) + TCAP + slot)
     own = jnp.sort(jnp.concatenate([own_t, own_i], axis=1), axis=1)
     dup_site = jnp.any(own[:, 1:] == own[:, :-1], axis=1) & ps_live
-    fallback |= _flag_rows(R, dup_site, ps_row)
+    fallback |= _flag_rows_bit(R, dup_site, ps_row, FB_DUP_SITE)
 
     # ---- loci: traversed + traversing-derived + ancestors -------------------
     t_valid = (slot < ps_ntrav[:, None]) & ps_live[:, None]
@@ -378,7 +404,7 @@ def select_and_record_device(
     tr_w = jnp.where(ps_live & (ps_ning > 0), ps_hi - ps_lo + 1, 0)
     tr_item, tr_off, tr_valid, tr_spill = _expand_budget(
         tr_w.astype(jnp.int32), trcap)
-    fallback |= _flag_rows(R, tr_spill, ps_row)
+    fallback |= _flag_rows_bit(R, tr_spill, ps_row, FB_TRAV)
     tr_sa = jnp.clip(ps_lo[tr_item] + tr_off, 0, di.size - 1)
     tr_node = rt.ra_node[jnp.clip(di.sa[tr_sa], 0, rt.ra_node.shape[0] - 1)]
     l2_state = tr_item
@@ -413,7 +439,8 @@ def select_and_record_device(
     trip_state = jnp.clip(trip_state, 0, NS - 1)
     same_ss = trip_keep & ~_neighbor_diff(trip_state, trip_site) \
         & jnp.concatenate([jnp.zeros(1, bool), trip_keep[:-1]])
-    fallback |= _flag_rows(R, same_ss, ps_row[trip_state])
+    fallback |= _flag_rows_bit(R, same_ss, ps_row[trip_state],
+                               FB_CONFLICT)
     LT = trip_state.shape[0]
 
     # ---- base-site key rows per state ---------------------------------------
@@ -431,7 +458,8 @@ def select_and_record_device(
         first_idx > 0, uniq_cum[jnp.maximum(first_idx - 1, 0)], 0)
     pos_in_state = uniq_cum - 1 - uniq_before_state
     too_many = b_uniq & (pos_in_state >= KCAP)
-    fallback |= _flag_rows(R, too_many, ps_row[jnp.clip(kb_state, 0, NS - 1)])
+    fallback |= _flag_rows_bit(R, too_many,
+                               ps_row[jnp.clip(kb_state, 0, NS - 1)], FB_KCAP)
     key_mat = jnp.full((NS + 1, KCAP), _PAD, jnp.int32)
     key_mat = key_mat.at[
         jnp.where(b_uniq & ~too_many, kb_state, NS),
@@ -464,7 +492,8 @@ def select_and_record_device(
     scaling = jnp.uint32(_URNG_RANGE) // totals
     past = totals * scaling
     rdraw = row_first_raw.astype(jnp.uint32)
-    fallback |= active_row & (rdraw >= past)  # rejection branch -> host
+    fallback |= jnp.where(active_row & (rdraw >= past),
+                          jnp.int32(FB_RNG), 0)  # rejection branch -> host
     selected = 1 + (rdraw // jnp.maximum(scaling, jnp.uint32(1))).astype(
         jnp.int32)
     chosen_ord = selected - nonvar - 1
@@ -480,12 +509,13 @@ def select_and_record_device(
     # ---- preliminary triple-capacity check (BEFORE per-base recording, so
     # spilled rows can still fall back cleanly with zero device traces) ----
     t_row = ps_row[trip_state]
-    t_sel = trip_keep & st_selected[trip_state] & ~fallback[t_row]
+    t_sel = trip_keep & st_selected[trip_state] & (fallback[t_row] == 0)
     t_key = jnp.where(t_sel, t_row, R + 1)
     pre_row = jax.lax.sort(t_key)
     if t_key.shape[0] > trip_cap:
         over = pre_row[trip_cap:]
-        fallback |= _flag_rows(R, over <= R, jnp.clip(over, 0, R - 1))
+        fallback |= _flag_rows_bit(R, over <= R, jnp.clip(over, 0, R - 1),
+                                   FB_TRIPS)
 
     # ---- per-base coverage (may add fallback rows; do it before triples) ---
     cov_diff, fallback = _record_per_base_device(
@@ -495,7 +525,7 @@ def select_and_record_device(
     # ---- triples of the chosen classes, compact prefix of the sort ----------
     # fallback only grew since the preliminary check, so the valid prefix
     # is guaranteed to fit in trip_cap
-    t_sel = trip_keep & st_selected[trip_state] & ~fallback[t_row]
+    t_sel = trip_keep & st_selected[trip_state] & (fallback[t_row] == 0)
     t_key = jnp.where(t_sel, t_row, R + 1)
     trip_row_o, trip_site_o, trip_allele_o = jax.lax.sort(
         (t_key, trip_site, trip_allele), num_keys=3)
@@ -522,7 +552,7 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     R = row_len.shape[0]
     w = jnp.where(st_selected, ps_hi - ps_lo + 1, 0).astype(jnp.int32)
     w_item, w_off, w_valid, w_spill = _expand_budget(w, wcap)
-    fallback = fallback | _flag_rows(R, w_spill, ps_row)
+    fallback = fallback | _flag_rows_bit(R, w_spill, ps_row, FB_WALK)
 
     occ_sa = jnp.clip(ps_lo[w_item] + w_off, 0, di.size - 1)
     prg_pos = jnp.clip(di.sa[occ_sa], 0, rt.ra_node.shape[0] - 1)
@@ -595,7 +625,7 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     # falls back (expected never at the scaled emitcap; ~1 node per
     # crossed site)
     sel_rows = _flag_rows(R, st_selected, ps_row)
-    fallback = fallback | jnp.where(spill, sel_rows, jnp.zeros(R, bool))
+    fallback = fallback | jnp.where(spill & sel_rows, jnp.int32(FB_EMIT), 0)
 
     k_row, k_node, s_s, en_s = jax.lax.sort(
         (e_row, e_node, e_start, e_end), num_keys=2)
@@ -609,7 +639,7 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     is_rep = gstart & valid_e
     rep_node = jnp.clip(k_node, 0, rt.n_nodes - 1)
     rep_row = jnp.clip(k_row, 0, R - 1)
-    keep = is_rep & ~fallback[rep_row]
+    keep = is_rep & (fallback[rep_row] == 0)
     covs = rt.nt_cov_start[rep_node]
     keep &= covs >= 0
     ar_e = jnp.arange(emitcap)

@@ -358,14 +358,14 @@ def _unpack_record_result(flat: np.ndarray, num_reads: int, trip_cap: int,
     block = 3 * R + 3 * trip_cap
     assert flat.size == S * block, (flat.size, S, block)
     ovf = np.zeros(S * R, dtype=bool)
-    fallback = np.zeros(S * R, dtype=bool)
+    fallback = np.zeros(S * R, dtype=np.int32)   # reason bitmask, 0 = ok
     mapped = np.zeros(S * R, dtype=bool)
     loci_parts = []
     for s in range(S):
         seg = flat[s * block:(s + 1) * block]
         rows_g = (np.arange(R) * S + s) if S > 1 else np.arange(R)
         ovf[rows_g] = seg[:R].astype(bool)
-        fallback[rows_g] = seg[R:2 * R].astype(bool)
+        fallback[rows_g] = seg[R:2 * R]
         mapped[rows_g] = seg[2 * R:3 * R].astype(bool)
         t = seg[3 * R:]
         t_row = t[:trip_cap]
@@ -1338,6 +1338,11 @@ class LogBatchedEngine:
             flat, R, trip_cap, n_shards=self.S)
         nrows = len(rows)
         fold_loci_rows(coverage, loci_rows)
+        from .record_jax import FB_NAMES
+        for bit, name in FB_NAMES.items():
+            n_bit = int(((fallback[:nrows] & bit) != 0).sum())
+            if n_bit:
+                self.fallback_reasons[f"record:{name}"] += n_bit
 
         # full-budget retry pass for rows the phased budgets overflowed
         ovf_rows = np.flatnonzero(ovf[:nrows])
