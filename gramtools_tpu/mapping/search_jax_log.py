@@ -85,8 +85,19 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
     n = di.size
     if occ_rows is None:
         occ_rows = lambda rows: di.occ[jnp.clip(rows, 0, n)]
+    # jump-outcome lo/hi stacked once per phase (hoisted out of the scan
+    # body by jit) so newborn intervals come from ONE gather, not two
+    L = di.out_lo.shape[0]
+    out_cat = jnp.concatenate([di.out_lo, di.out_hi])   # (2L,B)
 
     def step(carry, xs):
+        # the scan is latency-bound on SEQUENTIAL DEVICE ROUNDS, not
+        # bandwidth (docs/SCAN_LATENCY.md): every gather/scatter pair
+        # below is fused into one kernel launch wherever the dataflow
+        # allows -- lo/hi occ rows in one 2N gather, all five per-hit
+        # state fields in one stacked (N,5) gather, the four repack
+        # scatters in one (N+1,4) row scatter, both overflow scatters
+        # in one.
         base_row, log_base = xs
         (read_id, lo, hi, pref, overflow) = carry
         valid = read_id >= 0
@@ -94,9 +105,9 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         base = jnp.where(valid, base_row[rid], 0)       # (N,)
         active = valid & (base > 0)
 
-        # ---- 1. occ row gathers: LF + marker counts ---------------------
-        row_lo = occ_rows(lo)                           # (N,4)
-        row_hi = occ_rows(hi + 1)                       # (N,4)
+        # ---- 1. occ row gathers: LF + marker counts (one 2N gather) -----
+        rows2 = occ_rows(jnp.concatenate([lo, hi + 1]))  # (2N,4)
+        row_lo, row_hi = rows2[:N], rows2[N:]
         onehot = (base[:, None] == jnp.arange(1, 5))    # (N,4)
         first = di.sym_start[jnp.clip(base, 0, 4)]
         nlo = first + jnp.sum(row_lo * onehot, axis=1)
@@ -127,12 +138,13 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         s_of_g = jax.lax.associative_scan(jnp.maximum, marks)
         s_of_g = jnp.clip(s_of_g, 0, N - 1)
         hit_ok = g < jnp.minimum(total, G)
-        cum_before = cum[s_of_g] - cnt[s_of_g]
-        hit_pos = m_lo[s_of_g] + (g - cum_before)
+        # every per-hit state field in ONE (N,5) stacked gather
+        state_cols = jnp.stack([start_of, m_lo, base, pref, rid], axis=1)
+        hit_cols = state_cols[s_of_g]                    # (G,5)
+        hit_pos = hit_cols[:, 1] + (g - hit_cols[:, 0])
+        j_base = hit_cols[:, 2]                          # (G,)
         # states whose hits spill past the budget flag their read
         spilled = active & (cum > G) & (cnt > 0)
-        overflow = overflow.at[jnp.where(spilled, rid, num_reads)].set(
-            True, mode="drop")
 
         # marker rank -> jump locus, one precomputed gather
         loc = jnp.where(hit_ok,
@@ -142,13 +154,12 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
                         -1)                              # (G,)
 
         # ---- 3. outcomes + LF of newborns (G,B) -------------------------
-        li = jnp.clip(loc, 0, di.out_lo.shape[0] - 1)
-        j_lo = di.out_lo[li]                             # (G,B)
-        j_hi = di.out_hi[li]
+        li = jnp.clip(loc, 0, L - 1)
+        jbound = out_cat[jnp.concatenate([li, li + L])]  # (2G,B)
+        j_lo, j_hi = jbound[:G], jbound[G:]
         cand_ok = (loc >= 0)[:, None] & (j_lo >= 0)
-        jrow_lo = occ_rows(j_lo)                         # (G,B,4)
-        jrow_hi = occ_rows(j_hi + 1)
-        j_base = base[s_of_g]                            # (G,)
+        jrows = occ_rows(jnp.concatenate([j_lo, j_hi + 1]))  # (2G,B,4)
+        jrow_lo, jrow_hi = jrows[:G], jrows[G:]
         j_onehot = (j_base[:, None] == jnp.arange(1, 5))  # (G,4)
         j_first = di.sym_start[jnp.clip(j_base, 0, 4)]
         e_lo = j_first[:, None] + jnp.sum(jrow_lo * j_onehot[:, None, :], axis=2)
@@ -156,10 +167,10 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         cand_ok &= e_lo <= e_hi
 
         # genealogy log records for this step's candidates
-        rec_parent = jnp.broadcast_to(pref[s_of_g][:, None], (G, B))
+        rec_parent = jnp.broadcast_to(hit_cols[:, 3][:, None], (G, B))
         rec_event = li[:, None] * B + jnp.arange(B)[None, :]   # (G,B)
         c_pref = log_base + g[:, None] * B + jnp.arange(B)[None, :]
-        c_rid = jnp.broadcast_to(rid[s_of_g][:, None], (G, B))
+        c_rid = jnp.broadcast_to(hit_cols[:, 4][:, None], (G, B))
 
         # ---- 4. dense repack: survivors then newborns -------------------
         flags = jnp.concatenate([keep, cand_ok.reshape(-1)])
@@ -167,19 +178,24 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         dest = jnp.where(flags & (pos < N), pos, N)      # N = dump slot
         all_rid = jnp.concatenate([rid, c_rid.reshape(-1)])
         dropped = flags & (pos >= N)
-        overflow = overflow.at[jnp.where(dropped, all_rid, num_reads)].set(
-            True, mode="drop")
+        # one overflow scatter for both spill classes
+        ovf_idx = jnp.concatenate([jnp.where(spilled, rid, num_reads),
+                                   jnp.where(dropped, all_rid, num_reads)])
+        overflow = overflow.at[ovf_idx].set(True, mode="drop")
 
-        def repack(old, new_vals, fill):
-            cat = jnp.concatenate([old, new_vals])
-            out = jnp.full((N + 1,), fill, dtype=cat.dtype)
-            return out.at[dest].set(cat, mode="drop")[:N]
-
-        new_read_id = repack(jnp.where(keep, read_id, -1),
-                             jnp.where(cand_ok, c_rid, -1).reshape(-1), -1)
-        new_lo = repack(kept_lo, e_lo.reshape(-1), 0)
-        new_hi = repack(kept_hi, e_hi.reshape(-1), 0)
-        new_pref = repack(pref, c_pref.reshape(-1), 0)
+        # all four carry arrays repacked by ONE row scatter
+        cat = jnp.stack([
+            jnp.concatenate([jnp.where(keep, read_id, -1),
+                             jnp.where(cand_ok, c_rid, -1).reshape(-1)]),
+            jnp.concatenate([kept_lo, e_lo.reshape(-1)]),
+            jnp.concatenate([kept_hi, e_hi.reshape(-1)]),
+            jnp.concatenate([pref, c_pref.reshape(-1)]),
+        ], axis=1)                                       # (N+GB, 4)
+        fills = jnp.array([-1, 0, 0, 0], cat.dtype)
+        out = jnp.broadcast_to(fills, (N + 1, 4)).at[dest].set(
+            cat, mode="drop")[:N]
+        new_read_id, new_lo, new_hi, new_pref = (
+            out[:, 0], out[:, 1], out[:, 2], out[:, 3])
 
         return ((new_read_id, new_lo, new_hi, new_pref, overflow),
                 (rec_parent, rec_event))
