@@ -29,6 +29,7 @@ breakdown.
 """
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
@@ -41,17 +42,62 @@ READ_LEN = int(os.environ.get("BENCH_READ_LEN", "150"))
 KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4096"))       # scan-only batch
 BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
-E2E_READS = int(os.environ.get("BENCH_E2E_READS", "60000"))
-# warmup covers TWO buffers so the adaptive hit-budget step-up (if any)
-# and the retry-pass shape both compile before the timed run; the
-# engine's sticky shape ratchets then guarantee zero steady-state
-# recompiles
+E2E_READS = int(os.environ.get("BENCH_E2E_READS", "40000"))
+# warmup = ONE production buffer: it dispatches the canonical sticky
+# shapes, so the timed run recompiles nothing (steady_state_new_shapes
+# proves it). Two-buffer warmups blew the driver's wall budget (r03).
 WARM_READS = int(os.environ.get("BENCH_WARM_READS", "0"))
 CPP_THREADS = int(os.environ.get("BENCH_CPP_THREADS", "0"))  # 0 = all cores
 PROFILE = os.environ.get("BENCH_PROFILE", "snp")         # snp | mixed
 RANK = os.environ.get("BENCH_RANK",
                       os.environ.get("GRAMTOOLS_TPU_RANK", "dense"))
 SKIP_E2E = os.environ.get("BENCH_SKIP_E2E") == "1"
+# hard wall budget: the driver runs bench.py under a timeout (r03 died
+# rc=124 with NO output). At BUDGET seconds -- or on SIGTERM -- whatever
+# has been measured so far is printed as the one JSON line and the
+# process exits 0. Every phase below updates RESULT incrementally.
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "460"))
+
+T0 = time.time()
+RESULT = {
+    "metric": "quasimap_e2e_reads_per_sec_per_chip",
+    "value": None,
+    "unit": f"reads/s (150bp, {GENOME_MB}Mb {PROFILE} graph, "
+            f"full device mapping path)",
+    "vs_baseline": None,
+}
+_EMITTED = False
+
+
+def _emit():
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    # primary metric preference: e2e rate, else scan-only rate
+    if RESULT["value"] is None and RESULT.get("scan_reads_per_sec"):
+        RESULT["value"] = RESULT["scan_reads_per_sec"]
+    cpp = RESULT.get("cpp_omp_baseline_reads_per_sec")
+    if RESULT["vs_baseline"] is None and cpp and RESULT["value"]:
+        RESULT["vs_baseline"] = round(RESULT["value"] / cpp, 2)
+    print(json.dumps(RESULT), flush=True)
+
+
+def _deadline(signum, frame):
+    RESULT["partial"] = True
+    RESULT["elapsed_at_deadline_s"] = round(time.time() - T0, 1)
+    print(f"# bench deadline hit ({signum}); emitting partial result",
+          file=sys.stderr, flush=True)
+    _emit()
+    os._exit(0)
+
+
+def _elapsed():
+    return time.time() - T0
+
+
+def _remaining():
+    return BUDGET_S - _elapsed()
 
 # HBM peak bytes/s per chip by device kind (public spec numbers)
 HBM_PEAK = {
@@ -261,6 +307,9 @@ def hbm_peak_bytes():
 # --------------------------------------------------------------------------
 
 def main():
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.signal(signal.SIGTERM, _deadline)
+    signal.alarm(max(BUDGET_S, 30))
     t0 = time.time()
     rng = np.random.RandomState(42)
     genome_len = int(GENOME_MB * 1e6)
@@ -304,7 +353,40 @@ def main():
 
     paths = sample_haplotypes(prg_ints, end_positions, rng, n_paths=8)
 
-    out = {}
+    out = RESULT     # phases below fill the result line incrementally
+
+    # ---- compiled C++/OpenMP baseline FIRST (host-only, cheap) --------
+    # so vs_baseline is populated even if the device phases hit the
+    # deadline. Reference-algorithm per-read scalar worklist on all host
+    # cores (BASELINE.md: the reference `gram` binary cannot be built
+    # offline).
+    from gramtools_tpu.index.native import cpu_quasimap_baseline
+    from gramtools_tpu.mapping.jump_table import build_jump_table
+    cpp_rps = None
+    jt = build_jump_table(idx)
+    bl_reads = sample_reads(rng, paths, BATCH, READ_LEN)
+    steps = READ_LEN - KMER_SIZE
+    owner_bl, lo_bl, hi_bl, *_ = kmer_index.seed_batch(
+        bl_reads[:, READ_LEN - KMER_SIZE:])
+    order = np.argsort(owner_bl, kind="stable")
+    seed_ptr = np.zeros(BATCH + 1, dtype=np.int64)
+    np.add.at(seed_ptr, owner_bl + 1, 1)
+    seed_ptr = np.cumsum(seed_ptr)
+    bl_rl = np.ascontiguousarray(bl_reads[:, :steps][:, ::-1]).astype(
+        np.int32)
+    n_steps_arr = np.full(BATCH, steps, dtype=np.int32)
+    t3 = time.time()
+    bl_result = cpu_quasimap_baseline(
+        idx, jt, bl_rl, n_steps_arr, seed_ptr,
+        lo_bl[order], hi_bl[order], num_threads=CPP_THREADS)
+    t4 = time.time()
+    if bl_result is not None:
+        cpp_rps = BATCH / (t4 - t3)
+        out["cpp_omp_baseline_reads_per_sec"] = round(cpp_rps, 1)
+        out["cpp_threads"] = CPP_THREADS or os.cpu_count()
+        out["baseline_host_cores"] = CPP_THREADS or os.cpu_count()
+        print(f"# C++/OpenMP baseline ({out['cpp_threads']} threads): "
+              f"{cpp_rps:.0f} reads/s", file=sys.stderr)
 
     # ---- end-to-end device mapping path -------------------------------
     if not SKIP_E2E:
@@ -321,7 +403,7 @@ def main():
 
         engine = LogBatchedEngine(idx, KMER_SIZE)
         from gramtools_tpu.mapping.quasimap import READS_BUFFER_SIZE
-        warm_reads = WARM_READS or 2 * READS_BUFFER_SIZE
+        warm_reads = WARM_READS or READS_BUFFER_SIZE
         with tempfile.TemporaryDirectory() as td:
             warm_fq = os.path.join(td, "warm.fastq")
             main_fq = os.path.join(td, "reads.fastq")
@@ -336,6 +418,7 @@ def main():
             print(f"# e2e warmup ({warm_reads} reads, incl. compile): "
                   f"{warm_s:.1f}s; shapes={len(engine.dispatch_shapes)}",
                   file=sys.stderr)
+            out["e2e_compile_warmup_seconds"] = round(warm_s, 1)
             engine.timers.clear()
             warm_shapes = len(engine.dispatch_shapes)
             t_e = time.time()
@@ -346,8 +429,10 @@ def main():
             new_shapes = len(engine.dispatch_shapes) - warm_shapes
         e2e_rps = E2E_READS / e2e_s
         out["value"] = round(e2e_rps, 1)
+        if cpp_rps:
+            out["vs_baseline"] = round(e2e_rps / cpp_rps, 2)
+            out["vs_baseline_e2e"] = out["vs_baseline"]
         out["e2e_seconds"] = round(e2e_s, 3)
-        out["e2e_compile_warmup_seconds"] = round(warm_s, 1)
         out["device_mapped"] = engine.device_mapped
         out["host_fallbacks"] = engine.host_fallbacks
         out["device_retried"] = engine.device_retried
@@ -359,6 +444,13 @@ def main():
               f"({engine.device_mapped} dev, {engine.host_fallbacks} host, "
               f"{engine.device_retried} retried, {new_shapes} new shapes); "
               f"stages: {out['stage_seconds']}", file=sys.stderr)
+
+    if _remaining() < 60:
+        print(f"# skipping scan phase ({_remaining():.0f}s left)",
+              file=sys.stderr)
+        signal.alarm(0)
+        _emit()
+        return
 
     # ---- scan-only rate + occupancy + roofline ------------------------
     import jax.numpy as jnp
@@ -459,54 +551,28 @@ def main():
           f"{'%.0f' % (peak/1e9) if peak else '?'} GB/s peak, "
           f"occupancy={occupancy}, overflow={n_overflow}", file=sys.stderr)
 
-    # ---- compiled C++/OpenMP baseline (reference-algorithm scalar) ----
-    cpp_rps = None
-    from gramtools_tpu.index.native import cpu_quasimap_baseline
-    from gramtools_tpu.mapping.jump_table import build_jump_table
-    jt = build_jump_table(idx)
-    order = np.argsort(owner, kind="stable")
-    seed_ptr = np.zeros(BATCH + 1, dtype=np.int64)
-    np.add.at(seed_ptr, owner + 1, 1)
-    seed_ptr = np.cumsum(seed_ptr)
-    reads_rl = np.ascontiguousarray(reads[:, :steps][:, ::-1]).astype(
-        np.int32)
-    n_steps_arr = np.full(BATCH, steps, dtype=np.int32)
-    t3 = time.time()
-    result = cpu_quasimap_baseline(
-        idx, jt, reads_rl, n_steps_arr, seed_ptr,
-        s_lo[order], s_hi[order], num_threads=CPP_THREADS)
-    t4 = time.time()
-    if result is not None:
-        cpp_rps = BATCH / (t4 - t3)
-        out["cpp_omp_baseline_reads_per_sec"] = round(cpp_rps, 1)
-        out["cpp_threads"] = CPP_THREADS or os.cpu_count()
-        print(f"# C++/OpenMP baseline ({out['cpp_threads']} threads): "
-              f"{cpp_rps:.0f} reads/s", file=sys.stderr)
-
-    primary = out.get("value", out["scan_reads_per_sec"])
-    # Scope note for both ratios: the device e2e rate covers the FULL
+    # Scope note for the ratios: the device e2e rate covers the FULL
     # production path (read IO, both orientations, kmer screen, scan,
     # selection, coverage recording); the C++/OpenMP baseline covers the
     # reference backend's mapping hot loop (scan from precomputed seeds,
     # one orientation) on cpp_threads host cores -- so vs_baseline_e2e
     # UNDERSTATES the device advantage and vs_baseline_scan is the
     # like-for-like kernel comparison.
-    result_line = {
-        "metric": "quasimap_e2e_reads_per_sec_per_chip",
-        "value": primary,
-        "unit": f"reads/s (150bp, {GENOME_MB}Mb {PROFILE} graph, "
-                f"full device mapping path)",
-        "vs_baseline": round(primary / cpp_rps, 2) if cpp_rps else None,
-        "vs_baseline_e2e": (round(primary / cpp_rps, 2)
-                            if cpp_rps and "value" in out else None),
-        "vs_baseline_scan": (round(out["scan_reads_per_sec"] / cpp_rps, 2)
-                             if cpp_rps else None),
-        "baseline_host_cores": CPP_THREADS or os.cpu_count(),
-    }
-    result_line.update(out)
-    result_line["value"] = primary
-    print(json.dumps(result_line))
+    if cpp_rps:
+        out["vs_baseline_scan"] = round(out["scan_reads_per_sec"] / cpp_rps,
+                                        2)
+    signal.alarm(0)
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # still emit the partial result line
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        import traceback
+        traceback.print_exc()
+        RESULT["error"] = f"{type(e).__name__}: {e}"
+        _emit()
+        sys.exit(0 if RESULT.get("value") else 1)
