@@ -195,7 +195,12 @@ def batch_simple_sites(idx: PrgIndex, coverage, l_stats: LikelihoodStats,
 
     if ploidy == HAPLOID:
         incompat = (total[:, None] - hapcov).astype(np.float64)
-        ll = (incompat * log_err + pmf) + gap * log_zero
+        # no-reads runs have log_err = -inf (probs.py:123): 0 * -inf is
+        # the scalar oracle's own silent NaN (model.py:150; such sites
+        # null out downstream) -- keep bit-parity and acknowledge the
+        # lane instead of emitting a RuntimeWarning
+        with np.errstate(invalid="ignore"):
+            ll = (incompat * log_err + pmf) + gap * log_zero
         ll = np.where(valid, ll, -np.inf)
         order = np.argsort(-ll, axis=1, kind="stable")
         best_l = order[:, 0].tolist()
@@ -210,7 +215,9 @@ def batch_simple_sites(idx: PrgIndex, coverage, l_stats: LikelihoodStats,
         c_hom = hapcov.astype(np.float64) / 2.0
         incompat_hom = total[:, None].astype(np.float64) - c_hom - c_hom
         gz = gap * log_zero
-        ll_hom = (((incompat_hom * log_err + pmf) + gz) + pmf) + gz
+        # scoped for the same 0 * -inf oracle-parity lane as HAPLOID
+        with np.errstate(invalid="ignore"):
+            ll_hom = (((incompat_hom * log_err + pmf) + gz) + pmf) + gz
         ll_hom = np.where(valid, ll_hom, -np.inf)
         # heterozygous pair: shared coverage apportioned by belonging
         sh = shared01.astype(np.float64)
@@ -223,8 +230,9 @@ def batch_simple_sites(idx: PrgIndex, coverage, l_stats: LikelihoodStats,
         c1 = h1 - belonging * sh
         het_ok_l = ((singleton[:, 0] != 0) & (singleton[:, 1] != 0)).tolist()
         incompat_het = total.astype(np.float64) - c0 - c1
-        ll_het = ((((incompat_het * log_err) + pmf[:, 0]) + gz[:, 0])
-                  + pmf[:, 1]) + gz[:, 1]
+        with np.errstate(invalid="ignore"):
+            ll_het = ((((incompat_het * log_err) + pmf[:, 0]) + gz[:, 0])
+                      + pmf[:, 1]) + gz[:, 1]
         ll_hom0_l = ll_hom[:, 0].tolist()
         ll_hom1_l = ll_hom[:, 1].tolist()
         ll_het_l = ll_het.tolist()

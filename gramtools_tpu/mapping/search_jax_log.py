@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from .search import PrgIndex, SearchState
 from .device_index import DeviceIndex, _next_pow2, _round_up
+from ..ops.prefix import mm_cumsum
 
 try:
     from jax import shard_map
@@ -54,12 +55,12 @@ except ImportError:  # older jax
 @dataclass
 class LogConfig:
     # N: live-state capacity. This is a CAP, not the per-step width --
-    # auto_phases right-sizes the warm pool to the actual seed count and
-    # shrinks after die-off, so a large cap costs nothing on sparse
-    # graphs but stops dense graphs (many kmer seeds per read) from
-    # spilling whole reads to the host engine at seeding time.
-    pool: int = 131072
-    hits: int = 2048     # G: marker hits processed per step (global)
+    # auto_phases right-sizes the warm pool to the row count and shrinks
+    # after die-off, so a large cap costs nothing on sparse graphs but
+    # stops dense graphs (many kmer seeds per read) from spilling whole
+    # reads to the host engine at seeding time.
+    pool: int = 262144
+    hits: int = 2048     # G: marker hits per step per 4096 rows
 
 
 def _row_capacity(n_rows: int) -> int:
@@ -124,18 +125,29 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         cnt = jnp.where(active, m_hi - m_lo, 0)         # (N,)
 
         # ---- 2. global hit enumeration ----------------------------------
-        cum = jnp.cumsum(cnt)
+        # all prefix ops below are MXU-blocked matmuls (ops/prefix.py):
+        # a jnp.cumsum / associative_scan is log2(N) ~ 17 dependent
+        # device rounds and the step is round-latency-bound
+        # (docs/SCAN_LATENCY.md); the matmul form is ~3 rounds
+        nz = cnt > 0
+        two = mm_cumsum(jnp.stack([cnt, nz.astype(jnp.int32)]))   # (2,N)
+        cum, nzc = two[0], two[1]
         total = cum[-1]
         g = jnp.arange(G)
-        # hit -> owning state WITHOUT a binary search (a searchsorted
-        # over the pool is log2(N) dependent gather rounds; the scan is
-        # latency-bound, docs/SCAN_LATENCY.md): scatter each hit-bearing
-        # state's index at its first hit slot, prefix-max fills the runs
         start_of = cum - cnt                             # (N,)
-        marks = jnp.full((G,), -1, jnp.int32).at[
-            jnp.where(cnt > 0, start_of, G)].set(
-            jnp.arange(N, dtype=jnp.int32), mode="drop")
-        s_of_g = jax.lax.associative_scan(jnp.maximum, marks)
+        rank = nzc - nz.astype(jnp.int32)                # run index per state
+        # hit -> owning state WITHOUT a binary search and WITHOUT a
+        # log-depth prefix-max: run starts come in increasing state
+        # order, so owner(g) = nz_states[#run_starts_at_or_before_g - 1].
+        # Both scatters share one (2G+1,) buffer (slot 2G = dump).
+        sc = jnp.zeros((2 * G + 1,), jnp.int32).at[jnp.concatenate([
+            jnp.where(nz & (rank < G), rank, 2 * G),
+            jnp.where(nz & (start_of < G), G + start_of, 2 * G)])].set(
+            jnp.concatenate([jnp.arange(N, dtype=jnp.int32),
+                             jnp.ones((N,), jnp.int32)]), mode="drop")
+        nz_states, starts01 = sc[:G], sc[G:2 * G]
+        rank_of_g = mm_cumsum(starts01)
+        s_of_g = nz_states[jnp.clip(rank_of_g - 1, 0, G - 1)]
         s_of_g = jnp.clip(s_of_g, 0, N - 1)
         hit_ok = g < jnp.minimum(total, G)
         # every per-hit state field in ONE (N,5) stacked gather
@@ -174,7 +186,7 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
 
         # ---- 4. dense repack: survivors then newborns -------------------
         flags = jnp.concatenate([keep, cand_ok.reshape(-1)])
-        pos = jnp.cumsum(flags) - 1
+        pos = mm_cumsum(flags) - 1
         dest = jnp.where(flags & (pos < N), pos, N)      # N = dump slot
         all_rid = jnp.concatenate([rid, c_rid.reshape(-1)])
         dropped = flags & (pos >= N)
@@ -461,13 +473,19 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
     under-provisioned tail costs fallback work, never correctness.
     Swept on TPU v5e (4.4Mb/100k-site graph, 4096x150bp): 29.1k reads/s
     (single shrink at step 16) -> 39.3k reads/s (this plan), 0 overflow.
-    When the actual seed-state count is known, the warm pool is sized to
-    2x it (fan-out headroom) instead of the full configured pool."""
+
+    The warm pool is max(pow2(4 x rows), pow2(2 x seed states)): the 4R
+    floor covers the measured ~3.1 kmer-seed fan-out of production k=10
+    graphs and, at throughput buffer sizes, meets the cfg.pool cap -- so
+    the production shape is DATA-INDEPENDENT (every distinct dispatched
+    shape is a minutes-long XLA compile through the TPU relay); the
+    seed-state term is a grow-only ratchet that matters only for
+    high-fan-out graphs (small k), where an extra compile beats
+    mass-spilling rows to the host engine."""
     WARM, MID = 8, 24
-    pool_warm = cfg.pool
-    if n_seed_states:
-        pool_warm = min(cfg.pool,
-                        max(_next_pow2(2 * n_seed_states, floor=64), 64))
+    pool_warm = min(cfg.pool, max(_next_pow2(4 * num_reads, floor=64),
+                                  _next_pow2(2 * n_seed_states, floor=64)
+                                  if n_seed_states else 64))
     pool_mid = min(pool_warm, max(_next_pow2(2 * num_reads, floor=64), 64))
     hits_mid = min(cfg.hits, max(3 * cfg.hits // 8, 8))
     pool_tail = min(pool_mid, max(_round_up(5 * num_reads // 4, 64), 64))
@@ -763,10 +781,10 @@ class LogBatchedEngine:
         # churn, not transfer latency, was 96% of e2e wall time.
         self._sticky_R = 0
         self._sticky_steps = 0
-        self._sticky_seeds = 0       # seed-state count -> warm-pool size
+        self._sticky_seeds = 0       # warm-pool ratchet (high-fan-out only)
         self._sticky_np = 64         # padded seed-array length
-        self._sticky_retry_R = 0
-        self._sticky_retry_pool = 0
+        self._seed_proto = None      # (shape[1:], dtype) per seed array
+        self._prewarmed = False
         # observability: one entry per distinct dispatched device shape
         # (== number of XLA compiles a cold cache would pay)
         self.dispatch_shapes = set()
@@ -996,16 +1014,29 @@ class LogBatchedEngine:
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
         t0 = self._tick("submit_seed", t0)
+        # canonical seed-pad width: 4 states/row covers the measured
+        # ~3.1 kmer-seed fan-out; deriving it from R (not the seed
+        # count) keeps the record-program shape data-independent
+        # (a seed count near a pow2 boundary would otherwise flip the
+        # padded shape between buffers -> relay recompile)
+        self._seed_proto = tuple((a.shape[1:], a.dtype) for a in seeds)
+        self._sticky_np = max(self._sticky_np,
+                              _round_up(4 * S * R, 16384) if S * R >= 4096
+                              else _next_pow2(4 * S * R, floor=64))
         n_states = owner.size
         if steps > 0 and n_states > 0:
             # the marker-hit budget is a GLOBAL per-step quota shared by
-            # all of a shard's rows: scale it with the row capacity (the
-            # configured default is tuned for ~8k rows), else
-            # throughput-mode buffers mass-overflow and the adaptive
-            # boost churns shapes
+            # all of a shard's rows: scale it LINEARLY with the row
+            # capacity (cfg.hits is per 4096 rows; the old R//8192
+            # scaling under-budgeted 20k-read buffers 2x -> 10% of reads
+            # overflowed and the adaptive boost recompiled mid-run)
             cfg_eff = LogConfig(
                 pool=self.cfg.pool,
-                hits=self.cfg.hits * max(1, R // 8192) * self.hits_boost)
+                hits=self.cfg.hits * max(1, R // 4096) * self.hits_boost)
+            # the seed-state ratchet only grows the warm pool on
+            # high-fan-out graphs; at production buffer sizes the 4R
+            # floor meets the pool cap first, so the dispatched shape is
+            # canonical from buffer one (auto_phases docstring)
             per_shard = (int(np.bincount(owner % S, minlength=S).max())
                          if S > 1 else n_states)
             self._sticky_seeds = max(self._sticky_seeds, per_shard)
@@ -1132,7 +1163,7 @@ class LogBatchedEngine:
             t0 = self._tick("complete_get", t0)
             carry_np, log_parent, log_event = self._retry_overflow(
                 carry_np, log_parent, log_event, carry, reads_T, len(rows),
-                R)
+                R, host_rows=host_rows)
             self._tick("complete_retry", t0)
         else:
             carry_np = self._empty_carry_np(len(rows))
@@ -1140,21 +1171,17 @@ class LogBatchedEngine:
         return (results, rows, carry_np, log_parent, log_event, seeds,
                 host_rows)
 
-    def _retry_shapes(self, n_ovf_rows: int, n_sel_states: int):
-        """Canonical retry-pass shapes: quantised with a generous floor
-        and ratcheted sticky, so every retry dispatch in a run (and
-        across runs, via the persistent XLA cache) reuses ONE compiled
-        program. The floor (1024 rows) costs only padding; a fresh shape
-        costs a minutes-long relay compile."""
-        self._sticky_retry_R = max(self._sticky_retry_R,
-                                   _row_capacity(max(n_ovf_rows, 1024)))
-        R2 = self._sticky_retry_R
-        self._sticky_retry_pool = max(
-            self._sticky_retry_pool, 32768,
-            _next_pow2(2 * max(n_sel_states, 1)), _next_pow2(8 * R2))
-        pool_r = min(self.cfg.pool, self._sticky_retry_pool)
-        hits_r = (self.cfg.hits * max(1, self._sticky_R // 8192)
-                  * max(self.hits_boost, 2))
+    def _retry_shapes(self):
+        """Canonical retry-pass shape: a PURE function of the main row
+        capacity (no data-dependent ratchets, no hits_boost term), so a
+        run dispatches exactly ONE retry program -- compiled during
+        warmup via prewarm_retry, never mid-measurement. Capacity is
+        R/8 rows (one full-budget pool covers ~12% of a buffer
+        re-scanned); overflow beyond it falls back to the exact host
+        path."""
+        R2 = _row_capacity(max(1024, self._sticky_R // 8))
+        pool_r = min(self.cfg.pool, max(32768, _next_pow2(8 * R2)))
+        hits_r = self.cfg.hits * max(1, self._sticky_R // 4096) * 2
         return R2, pool_r, hits_r
 
     def _globalise_init_rid(self, init_read_id):
@@ -1170,24 +1197,35 @@ class LogBatchedEngine:
         """Build the retry pass's carry/read matrix: the overflowed rows
         re-numbered 0..n_ovf-1 and redistributed over shards, their pass-1
         seed states replayed from the init carry (same seed list / log
-        references). Returns (carry2, reads_T2, p2, R2) or None when the
-        retry is not worth it / does not fit."""
+        references). Rows beyond the canonical retry capacity (or whose
+        states spill the retry pool) keep their overflow flag and fall
+        back to the exact host path. Returns
+        (carry2, reads_T2, p2, R2, retried_rows) or None."""
+        S = self.S
+        R2, pool_r, hits_r = self._retry_shapes()
+        ovf_rows = ovf_rows[:S * R2]        # canonical shape = hard cap
         init_read_id, init_lo, init_hi, init_pref = init_carry[:4]
         init_rid_g = self._globalise_init_rid(init_read_id)
-        row_map = np.full(nrows, -1, dtype=np.int32)
-        row_map[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
-        sel = np.flatnonzero(
-            (init_rid_g >= 0)
-            & np.isin(init_rid_g, ovf_rows, assume_unique=False))
-        if sel.size > self.cfg.pool:
-            return None
-        S = self.S
-        R2, pool_r, hits_r = self._retry_shapes(-(-ovf_rows.size // S),
-                                                sel.size)
-        retry_rows = row_map[init_rid_g[sel]]
-        slot, keep, spilled = self._place_states(retry_rows, pool_r)
-        if spilled.size:          # shard pool cannot hold the retry states
-            return None
+        for _ in range(2):
+            row_map = np.full(nrows, -1, dtype=np.int32)
+            row_map[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
+            sel = np.flatnonzero(
+                (init_rid_g >= 0)
+                & np.isin(init_rid_g, ovf_rows, assume_unique=False))
+            retry_rows = row_map[init_rid_g[sel]]
+            slot, keep, spilled = self._place_states(retry_rows, pool_r)
+            if not spilled.size:
+                break
+            # rows whose seed states do not fit the retry pool must stay
+            # OUT of the retried set (their overflow flag must survive
+            # the merge -> exact host re-map): drop and re-number
+            drop_mask = np.zeros(ovf_rows.size, dtype=bool)
+            drop_mask[spilled] = True
+            ovf_rows = ovf_rows[~drop_mask]
+            if ovf_rows.size == 0:
+                return None
+        else:
+            return None   # still spilling after one re-number: host path
         carry2 = (np.full(S * pool_r, -1, np.int32),
                   np.zeros(S * pool_r, np.int32),
                   np.zeros(S * pool_r, np.int32),
@@ -1202,10 +1240,10 @@ class LogBatchedEngine:
         cols_dst = self._cols_of(np.arange(ovf_rows.size), R2)
         reads_T2[:, cols_dst] = reads_T[:, cols_src]
         p2 = ((reads_T.shape[0], pool_r, hits_r),)
-        return carry2, reads_T2, p2, R2
+        return carry2, reads_T2, p2, R2, ovf_rows
 
     def _retry_overflow(self, carry_np, log_parent, log_event, init_carry,
-                        reads_T, nrows, R):
+                        reads_T, nrows, R, host_rows=()):
         """One full-budget device re-scan of reads the phased plan
         overflowed (budget spill or pool shrink), before any host
         fallback. The genealogy-log encoding makes the merge linear:
@@ -1215,7 +1253,12 @@ class LogBatchedEngine:
         re-map). Worth one extra scan only when many reads overflowed
         (dense/repetitive graphs); a handful is cheaper on the host."""
         overflow = carry_np[4]
-        ovf_rows = np.flatnonzero(overflow[:nrows])
+        # host-bound rows get re-mapped exactly anyway: never retry them
+        # (their retry results would be merged AND the host would re-map)
+        ovf_flags = overflow[:nrows].copy()
+        for r in host_rows:
+            ovf_flags[r] = False
+        ovf_rows = np.flatnonzero(ovf_flags)
         if ovf_rows.size > max(0.02 * nrows, 8):
             self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
         if ovf_rows.size < self.retry_min or reads_T.shape[0] == 0:
@@ -1225,7 +1268,7 @@ class LogBatchedEngine:
         relayout = self._relayout_retry(init_carry, ovf_rows, reads_T, nrows)
         if relayout is None:
             return carry_np, log_parent, log_event
-        carry2, reads_T2, p2, R2 = relayout
+        carry2, reads_T2, p2, R2, ovf_rows = relayout
         self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
                                   tuple(a.shape for a in carry2)))
         flat2 = self._run_packed(reads_T2, carry2, p2, R2)
@@ -1259,6 +1302,48 @@ class LogBatchedEngine:
                   overflow)
         return (merged, np.concatenate([log_parent, lp2]),
                 np.concatenate([log_event, le2]))
+
+    def prewarm_retry(self):
+        """Compile the retry-pass program during warmup. The retry shape
+        is canonical (_retry_shapes derives it from the main row
+        capacity alone), but it only dispatches when a buffer overflows
+        the phased budgets -- without prewarming, the FIRST overflow of
+        a run pays the minutes-long relay compile mid-measurement.
+        Dispatches one all-padding retry-shaped program (no live states,
+        every row marked host) and blocks until it is compiled+run; a
+        no-op when nothing was dispatched yet or already prewarmed."""
+        if self._prewarmed or self._sticky_R == 0 or self._sticky_steps == 0:
+            return
+        import os
+        flag = os.environ.get("GRAMTOOLS_TPU_PREWARM", "")
+        if flag == "0" or (flag != "1" and jax.default_backend() == "cpu"):
+            # prewarming exists to hide the RELAY compile; on the CPU
+            # test mesh it would only add a slow XLA:CPU compile
+            self._prewarmed = True
+            return
+        self._prewarmed = True
+        S = self.S
+        R2, pool_r, hits_r = self._retry_shapes()
+        p2 = ((self._sticky_steps, pool_r, hits_r),)
+        carry2 = (np.full(S * pool_r, -1, np.int32),
+                  np.zeros(S * pool_r, np.int32),
+                  np.zeros(S * pool_r, np.int32),
+                  np.zeros(S * pool_r, np.int32),
+                  np.zeros(S * R2, dtype=bool))
+        reads_T2 = np.zeros((self._sticky_steps, S * R2), dtype=np.uint8)
+        if self.device_record and self._seed_proto is not None:
+            seeds = tuple(np.zeros((self._sticky_np,) + shp, dt)
+                          for shp, dt in self._seed_proto)
+            dummy_first = np.zeros(1, dtype=np.uint32)
+            token = self._dispatch_record(
+                [], reads_T2, carry2, seeds, set(range(S * R2)),
+                dummy_first, p2, R2,
+                row_map=np.zeros(0, dtype=np.int64))
+            jax.device_get(token[1])
+        else:
+            self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
+                                      tuple(a.shape for a in carry2)))
+            jax.device_get(self._run_packed(reads_T2, carry2, p2, R2))
 
     def search_buffer(self, buffer, kmer_index, kmer_size, stats):
         from .search import (handle_allele_encapsulated_states,
@@ -1301,6 +1386,7 @@ class LogBatchedEngine:
                 states = handle_allele_encapsulated_states(
                     per_row_states.get(row, []), self.idx)
             results[i].append((states, int(read.size)))
+        self.prewarm_retry()
         return results
 
     def record_buffer(self, buffer, kmer_index, kmer_size, stats, coverage,
@@ -1360,14 +1446,23 @@ class LogBatchedEngine:
             if n_bit:
                 self.fallback_reasons[f"record:{name}"] += n_bit
 
-        # full-budget retry pass for rows the phased budgets overflowed
-        ovf_rows = np.flatnonzero(ovf[:nrows])
+        # full-budget retry pass for rows the phased budgets overflowed.
+        # Rows already bound for the exact host path must NOT be retried:
+        # the retry dispatch records device-side, and the host loop below
+        # re-maps host_rows regardless -- retrying them double-counts
+        # their coverage (host_rows rows can carry an overflow flag when
+        # part of their seed states were placed and the pool dropped
+        # them).
+        ovf_flags = ovf[:nrows].copy()
+        for r in host_rows:
+            ovf_flags[r] = False
+        ovf_rows = np.flatnonzero(ovf_flags)
         if ovf_rows.size > max(0.02 * nrows, 8):
             self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
         if (ovf_rows.size >= self.retry_min and reads_T.shape[0] > 0):
             relayout = self._relayout_retry(carry, ovf_rows, reads_T, nrows)
             if relayout is not None:
-                carry2, reads_T2, p2, R2 = relayout
+                carry2, reads_T2, p2, R2, ovf_rows = relayout
                 dev2 = self._dispatch_record(
                     rows, reads_T2, carry2, seeds, set(), first_raws, p2, R2,
                     row_map=ovf_rows)
@@ -1408,6 +1503,9 @@ class LogBatchedEngine:
                     stats.exact_mapped_reads_count += 1
                 else:
                     stats.no_extension_reads_count += 1
+        # compile the retry program now (once) rather than on the first
+        # overflowing buffer mid-run
+        self.prewarm_retry()
 
     def record_complete(self, token, selection_seeds, first_raws, stats,
                         coverage, kmer_index=None, kmer_size=None):
