@@ -90,6 +90,10 @@ def _setup_discover(common, subparsers):
     parser.add_argument("-o", "--discovery_dir", required=True,
                         help="Directory to hold this command's outputs")
     parser.add_argument("--discov_vcf", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--caller", choices=("native", "cortex"),
+                        default="native",
+                        help="Variant caller: built-in pileup caller "
+                             "(default) or py-cortex-api if installed")
     parser.add_argument("--mem_height", type=int, default=argparse.SUPPRESS,
                         help=argparse.SUPPRESS)
 

@@ -1,10 +1,16 @@
 """`discover` command: find new variants against the personalised
 reference and rebase them into base-reference coordinates.
 
-Parity: gramtools/commands/discover/discover.py. The external variant
-caller (py-cortex-api in the reference) is pluggable: if the `cortex`
-module is absent, a pre-computed VCF may be supplied via
-`args.discov_vcf` (used by tests and alternative callers).
+Parity: gramtools/commands/discover/discover.py. The variant caller is
+pluggable (`--caller`):
+
+  * ``native`` (default) -- the built-in seed-and-vote pileup caller
+    (discover/pileup.py); zero external dependencies, so discover runs
+    end-to-end unaided;
+  * ``cortex`` -- the reference's py-cortex-api, when installed
+    (discover.py:30-54);
+  * a pre-computed VCF of variants against the personalised reference
+    may be supplied via ``args.discov_vcf`` instead.
 """
 from __future__ import annotations
 
@@ -34,16 +40,28 @@ def run(args):
     enforce_genotyping_was_haploid(disco_paths)
 
     discov_vcf = getattr(args, "discov_vcf", None)
+    caller = getattr(args, "caller", "native")
     if discov_vcf is not None:
         shutil.copyfile(discov_vcf, disco_paths.discov_vcf)
-    else:
+    elif caller == "cortex":
         _run_cortex(disco_paths, args)
+    else:
+        _run_native_caller(disco_paths)
 
     rebased = rebase_vcf(disco_paths)
     _dump_rebased_vcf(rebased, disco_paths)
     log.info("Found %d variants. Final vcf in %s", len(rebased),
              disco_paths.final_vcf)
     log.info("End process: discover.")
+
+
+def _run_native_caller(disco_paths):
+    from ..discover.pileup import call_variants
+
+    log.info("Running native pileup variant caller")
+    records = call_variants(disco_paths.pers_ref, disco_paths.reads_files,
+                            disco_paths.discov_vcf)
+    log.info("Native caller found %d candidate variants", len(records))
 
 
 def _run_cortex(disco_paths, args):
