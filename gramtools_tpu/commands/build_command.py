@@ -107,3 +107,7 @@ def execute_index_build(build_report, action, build_paths, args):
     with timer.phase("Index build"):
         build_all(prg, args.kmer_size, build_paths.gram_dir)
     timer.report()
+    # per-phase wall + peak-RSS into the build report (the reference
+    # wraps FM construction in sdsl's memory monitor,
+    # make_data_structures.cpp:12-29)
+    build_report["index_build_phases"] = timer.as_dict()

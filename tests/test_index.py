@@ -70,3 +70,22 @@ def test_fm_index_roundtrip(tmp_path):
     fm2 = FMIndex.load(tmp_path / "fm.npz")
     assert np.array_equal(fm.sa, fm2.sa)
     assert np.array_equal(fm.occ, fm2.occ)
+
+
+def test_timer_report_peak_memory():
+    """Phases record peak RSS (the sdsl memory-monitor analogue,
+    make_data_structures.cpp:12-29) alongside wall time."""
+    import numpy as np
+    from gramtools_tpu.common.timers import TimerReport
+
+    t = TimerReport()
+    with t.phase("alloc"):
+        block = np.ones(30_000_000, dtype=np.uint8)  # ~30MB
+        block[::4096] = 2                            # fault the pages in
+    with t.phase("idle"):
+        pass
+    d = t.as_dict()
+    assert set(d) == {"alloc", "idle"}
+    assert d["alloc"]["seconds"] >= 0
+    peak = d["alloc"]["peak_mem_mb"]
+    assert peak is None or peak >= 30
