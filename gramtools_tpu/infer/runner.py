@@ -39,6 +39,66 @@ class LevelGenotyper:
             if gc_was_enabled:
                 gc.enable()
 
+    def _batch_nonsimple_sites(self, fast_sites, coverage):
+        """Wave-batched genotyping of every site the simple-site fast
+        path skipped (nested bubbles, multi-node branches): per wave of
+        ready sites (all children already genotyped), extraction runs
+        on the host and the vectorised haploid model evaluates the whole
+        wave at once (vector_model.batch_extracted_model); sites the
+        batch declines fall back to the scalar oracle. Mirrors the
+        child-first order of runner.cpp:54-92 -- a site's children are
+        always genotyped in an earlier wave."""
+        from .vector_model import batch_extracted_model
+
+        g = self.idx.graph
+        # parent extraction jumps via the child's site_end_node, which
+        # the ordered loop normally sets: set pos/end-node up front
+        # (the loop later re-sets them identically)
+        meta = {}
+        pending = []
+        for entry, exit_ in g.bubbles:
+            site_index = site_id_to_index(g.node(entry).site_id)
+            meta[site_index] = (g.node(entry).pos, exit_)
+            if site_index not in fast_sites:
+                pending.append((entry, exit_, site_index))
+        for si, site in fast_sites.items():
+            site.pos, site.site_end_node = meta[si]
+            self.genotyped_records[si] = site
+        while pending:
+            wave, rest = [], []
+            for entry, exit_, site_index in pending:
+                site_id = g.node(entry).site_id
+                children = [c for haplo in
+                            self.child_map.get(site_id, {}).values()
+                            for c in haplo]
+                if all(self.genotyped_records[site_id_to_index(c)]
+                       is not None for c in children):
+                    wave.append((entry, exit_, site_index))
+                else:
+                    rest.append((entry, exit_, site_index))
+            if not wave:
+                break       # cycle guard; the ordered loop handles rest
+            sites_data = []
+            for entry, exit_, site_index in wave:
+                extracter = AlleleExtracter(self.idx, entry, exit_,
+                                            self.genotyped_records)
+                sites_data.append((site_index, extracter.alleles,
+                                   coverage.grouped_counts[site_index]))
+            batched, leftover = batch_extracted_model(sites_data,
+                                                      self.l_stats)
+            for site_index, site in batched.items():
+                site.pos, site.site_end_node = meta[site_index]
+                fast_sites[site_index] = site
+                self.genotyped_records[site_index] = site
+            for site_index, alleles, gp_counts in leftover:
+                data = ModelData(alleles, gp_counts, self.ploidy,
+                                 self.l_stats, False)
+                site = LevelGenotyperModel(data).get_site()
+                site.pos, site.site_end_node = meta[site_index]
+                fast_sites[site_index] = site
+                self.genotyped_records[site_index] = site
+            pending = rest
+
     def _init(self, idx: PrgIndex, coverage: Coverage, read_stats,
               ploidy: int, get_gcp: bool, debug_fpath, use_fast: bool):
         self.idx = idx
@@ -63,6 +123,14 @@ class LevelGenotyper:
             from .vector_model import batch_simple_sites
             fast_sites = batch_simple_sites(idx, coverage, self.l_stats,
                                             ploidy, self.child_map)
+            if ploidy == 1:
+                # batch the remaining (nested / multi-node) sites too:
+                # extraction is host-side per wave of ready sites, the
+                # model is the vectorised haploid twin. Safe ahead of the
+                # ordered loop below because invalidation only ever
+                # flows from LATER-processed parents (child-first
+                # order), so extraction inputs never see it.
+                self._batch_nonsimple_sites(fast_sites, coverage)
 
         # child-first bubble iteration (runner.cpp:54-92)
         for entry, exit_ in g.bubbles:

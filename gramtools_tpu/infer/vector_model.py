@@ -42,6 +42,175 @@ def _decode(seq: np.ndarray) -> str:
     return _DECODE_LUT[seq].tobytes().decode("ascii")
 
 
+MAX_BATCH_ALLELES = 32
+
+
+def batch_extracted_model(sites_data, l_stats: LikelihoodStats):
+    """Vectorised HAPLOID LevelGenotyperModel over already-extracted
+    alleles: the batched twin of the scalar model for NON-simple sites
+    (nested bubbles, multi-node branches) whose extraction ran on the
+    host (allele_extracter). Bit-identical to LevelGenotyperModel on the
+    same ModelData (fuzzed by tests/test_vector_model.py).
+
+    sites_data: list of (site_index, input_alleles, gp_counts).
+    Returns (sites dict, leftover list) -- leftover sites hit a scalar-
+    only condition (huge allele counts, <2 likelihood entries, no
+    callable entry: cases where the scalar model raises or that are not
+    worth padding for) and must run through LevelGenotyperModel.
+    """
+    from dataclasses import replace
+
+    sites: Dict[int, GenotypedSite] = {}
+    leftover = []
+    batch = []
+    for entry in sites_data:
+        site_index, alleles, gp_counts = entry
+        if len(alleles) > MAX_BATCH_ALLELES or len(alleles) < 2:
+            leftover.append(entry)
+        else:
+            batch.append(entry)
+    if not batch:
+        return sites, leftover
+
+    S = len(batch)
+    A = max(len(a) for _, a, _ in batch)
+    n_all = np.array([len(a) for _, a, _ in batch], dtype=np.int64)
+    valid = np.arange(A)[None, :] < n_all[:, None]
+
+    # per-allele haplogroup + callability; per-site haplogroup coverages
+    hap = np.zeros((S, A), dtype=np.int64)
+    callable_ = np.zeros((S, A), dtype=bool)
+    n_hap = np.zeros(S, dtype=np.int64)
+    for si, (_, alleles, _) in enumerate(batch):
+        for ai, a in enumerate(alleles):
+            hap[si, ai] = a.haplogroup
+            callable_[si, ai] = a.callable
+        n_hap[si] = len({a.haplogroup for a in alleles})
+    H = int(hap.max()) + 1
+    hapcov = np.zeros((S, H), dtype=np.int64)
+    singleton = np.zeros((S, H), dtype=np.int64)
+    total = np.zeros(S, dtype=np.int64)
+    hap_mult_count = np.zeros((S, H), dtype=np.int64)
+    for si, (_, alleles, gp_counts) in enumerate(batch):
+        tot = 0
+        for group, count in gp_counts.items():
+            tot += count
+            for allele_id in group:
+                if allele_id < H:
+                    hapcov[si, allele_id] += count
+            if len(group) == 1 and group[0] < H:
+                singleton[si, group[0]] = count
+        total[si] = tot
+        for a in alleles:
+            hap_mult_count[si, a.haplogroup] += 1
+    hapcov_a = hapcov[np.arange(S)[:, None], hap]         # (S, A)
+
+    # per-allele average coverage + gap fraction from pb_cov (empty
+    # alleles take their haplogroup coverage as one pseudo-base,
+    # model.py _assign_coverage_to_empty_alleles)
+    t = l_stats.credible_cov_t
+    sums = np.zeros((S, A), dtype=np.int64)
+    lens = np.ones((S, A), dtype=np.int64)
+    ncred = np.zeros((S, A), dtype=np.int64)
+    for si, (_, alleles, _) in enumerate(batch):
+        for ai, a in enumerate(alleles):
+            if a.sequence:
+                pb = a.pb_cov
+                sums[si, ai] = sum(pb)
+                lens[si, ai] = len(pb)
+                ncred[si, ai] = sum(1 for c in pb if c < t)
+            else:
+                cov = int(hapcov[si, a.haplogroup])
+                sums[si, ai] = cov
+                ncred[si, ai] = 1 if cov < t else 0
+    gap = ncred / lens
+
+    # pmf via unique (sum, len) keys (scalar pmf = the oracle)
+    M = int(lens.max()) + 1
+    key = sums * M + lens
+    vkey = key[valid]
+    uniq, inv = np.unique(vkey, return_inverse=True)
+    pmf_scalar = l_stats.pmf_full_depth
+    pmf_uniq = np.array([pmf_scalar((u // M) / (u % M)) for u in
+                         uniq.tolist()])
+    pmf = np.zeros(valid.shape)
+    pmf[valid] = pmf_uniq[inv]
+
+    # likelihood entries: one per allele, skipping an uncallable REF
+    # (model.py _compute_haploid_log_likelihoods)
+    ignore_ref = ~callable_[:, 0]
+    entry_ok = valid.copy()
+    entry_ok[:, 0] &= ~ignore_ref
+    log_err = l_stats.log_mean_pb_error
+    log_zero = l_stats.log_zero
+    incompat = (total[:, None] - hapcov_a).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        ll = (incompat * log_err + pmf) + gap * log_zero
+    ll = np.where(entry_ok, ll, -np.inf)
+    # multimap-greater parity: stable descending sort keeps insertion
+    # order among ties; -inf padding sorts last
+    order = np.argsort(-ll, axis=1, kind="stable")
+    ar = np.arange(S)
+    n_entries = entry_ok.sum(axis=1)
+    cal_sorted = callable_[ar[:, None], order] & entry_ok[ar[:, None], order]
+    has_cal = cal_sorted.any(axis=1)
+    pos = np.argmax(cal_sorted, axis=1)
+    need_two = (pos + 1 < n_entries) & has_cal & (n_entries >= 2)
+
+    mean_cov = l_stats.data_params.mean_cov
+    quarter_mean = mean_cov / 4
+    for si, (site_index, alleles, gp_counts) in enumerate(batch):
+        site = GenotypedSite()
+        site.num_haplogroups = int(n_hap[si])
+        seqs = [a.sequence for a in alleles]
+        if len(set(seqs)) < len(seqs):
+            site.set_filter("AMBIG")
+        tot = int(total[si])
+        if tot == 0 or mean_cov == 0:
+            site.alleles = [alleles[0]]
+            site.make_null()
+            sites[site_index] = site
+            continue
+        if not need_two[si]:
+            leftover.append((site_index, alleles, gp_counts))
+            sites.pop(site_index, None)
+            continue
+        p = int(pos[si])
+        b = int(order[si, p])
+        s2 = int(order[si, p + 1])
+        gt_conf = float(ll[si, b] - ll[si, s2])
+        if gt_conf == 0.0:
+            site.alleles = [alleles[0]]
+            site.make_null()
+            site.extra_alleles = [alleles[i] for i in sorted({b, s2})]
+            sites[site_index] = site
+            continue
+        # next-best alleles (model.cpp:335-360)
+        if (tot < quarter_mean
+                or hapcov_a[si, b] < hapcov_a[si, s2] * 2):
+            extra = sorted({s2} - {b})
+            site.extra_alleles = [replace(alleles[i], callable=False)
+                                  for i in extra]
+        chosen_hap = int(hap[si, b])
+        if b == 0:
+            site.alleles = [alleles[0]]
+            site.genotype = [0]
+            site.allele_covs = [float(hapcov[si, chosen_hap])]
+        else:
+            site.alleles = [alleles[0], alleles[b]]
+            site.genotype = [1]
+            ref_cov = float(singleton[si, 0])
+            if hap_mult_count[si, 0] > 1:
+                ref_cov /= 2
+            site.allele_covs = [ref_cov, float(hapcov[si, chosen_hap])]
+        site.total_coverage = tot
+        # get_genotyped_haplogroups over the chosen allele (types.py:89)
+        site.haplogroups = [chosen_hap]
+        site.gt_conf = gt_conf
+        sites[site_index] = site
+    return sites, leftover
+
+
 def _flat_seq(g):
     """(decoded string, uint8 codes) aligned with the graph's flat
     coverage array (built once, cached on the graph)."""
