@@ -584,6 +584,43 @@ def _filter_buffer_rows(buffer, kmer_index, k, stats):
     return results, rows, rows_mat
 
 
+class _EagerFetch:
+    """Background device_get started at dispatch time.
+
+    The TPU relay is LAZY: a dispatched program may only execute when
+    its result is FETCHED, so completing buffer N after submitting
+    buffer N+1 does not overlap device work with host work by itself --
+    the fetch (and with it the execution) would still happen serially
+    inside record_complete. Fetching on a daemon thread right after
+    dispatch forces the execution to proceed while the host prepares
+    the next buffer (the relay wait releases the GIL)."""
+
+    def __init__(self, arr):
+        import threading
+
+        self._arr = arr
+        self._out = None
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            self._out = jax.device_get(self._arr)
+        except BaseException as e:  # re-raised on get()
+            self._err = e
+
+    def get(self):
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._out
+
+
+def _fetch(arr):
+    return arr.get() if isinstance(arr, _EagerFetch) else jax.device_get(arr)
+
+
 class PathReplayer:
     """Reconstructs (traversed, traversing) for final states from the
     genealogy log + the seed paths, replaying jump-table ops root->leaf
@@ -1070,8 +1107,8 @@ class LogBatchedEngine:
                 self.dispatch_shapes.add(
                     ("packed", phases, R, reads_T.shape,
                      tuple(a.shape for a in carry)))
-                device_out = (self._run_packed(reads_T, carry, phases, R),
-                              phases, R)
+                device_out = (_EagerFetch(self._run_packed(
+                    reads_T, carry, phases, R)), phases, R)
         else:
             # no extension steps / no seeds: everything via the exact
             # host path
@@ -1137,7 +1174,7 @@ class LogBatchedEngine:
         packed, self.cov_diff = self._run_record(
             reads_T, carry, seeds_p, row_ok, row_first, row_len,
             phases, R, trip_cap)
-        return ("record", packed, R, trip_cap)
+        return ("record", _EagerFetch(packed), R, trip_cap)
 
     def _empty_carry_np(self, nrows: int):
         """Global-space stand-in when nothing was dispatched."""
@@ -1158,7 +1195,7 @@ class LogBatchedEngine:
             # result tree packed on device -> ONE host<->device round
             # trip (each leaf fetched separately pays a full relay trip)
             carry_np, log_parent, log_event = _unpack_result(
-                jax.device_get(flat), phases, R, self.di.n_outcomes,
+                _fetch(flat), phases, R, self.di.n_outcomes,
                 n_shards=self.S)
             t0 = self._tick("complete_get", t0)
             carry_np, log_parent, log_event = self._retry_overflow(
@@ -1272,7 +1309,7 @@ class LogBatchedEngine:
         self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
                                   tuple(a.shape for a in carry2)))
         flat2 = self._run_packed(reads_T2, carry2, p2, R2)
-        c2, lp2, le2 = _unpack_result(jax.device_get(flat2), p2, R2,
+        c2, lp2, le2 = _unpack_result(_fetch(flat2), p2, R2,
                                       self.di.n_outcomes, n_shards=self.S)
         lp2 = lp2.copy()
         L1 = log_parent.size
@@ -1339,11 +1376,11 @@ class LogBatchedEngine:
                 [], reads_T2, carry2, seeds, set(range(S * R2)),
                 dummy_first, p2, R2,
                 row_map=np.zeros(0, dtype=np.int64))
-            jax.device_get(token[1])
+            _fetch(token[1])
         else:
             self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
                                       tuple(a.shape for a in carry2)))
-            jax.device_get(self._run_packed(reads_T2, carry2, p2, R2))
+            _fetch(self._run_packed(reads_T2, carry2, p2, R2))
 
     def search_buffer(self, buffer, kmer_index, kmer_size, stats):
         from .search import (handle_allele_encapsulated_states,
@@ -1434,7 +1471,7 @@ class LogBatchedEngine:
         if kmer_index is None:
             kmer_index = self._last_kmer_index
         t0 = time.perf_counter()
-        flat = jax.device_get(packed)
+        flat = _fetch(packed)
         t0 = self._tick("complete_get", t0)
         ovf, fallback, mapped, loci_rows = _unpack_record_result(
             flat, R, trip_cap, n_shards=self.S)
@@ -1468,7 +1505,7 @@ class LogBatchedEngine:
                     row_map=ovf_rows)
                 _, packed2, _, tc2 = dev2
                 ovf2, fb2, mapped2, loci2 = _unpack_record_result(
-                    jax.device_get(packed2), R2, tc2, n_shards=self.S)
+                    _fetch(packed2), R2, tc2, n_shards=self.S)
                 if loci2.shape[0]:
                     loci2[:, 0] = ovf_rows[loci2[:, 0]]
                     fold_loci_rows(coverage, loci2)
