@@ -1159,15 +1159,18 @@ class LogBatchedEngine:
         row_first = np.zeros(S * R, dtype=np.uint32)
         row_len = np.zeros(S * R, dtype=np.int32)
         cols = self._cols_of(np.arange(nrows), R)
+        first_arr = np.asarray(first_raws)
         if row_map is None:
-            for row, (i, read) in enumerate(rows):
-                row_first[cols[row]] = first_raws[i]
-                row_len[cols[row]] = read.size
+            src = rows
         else:
-            for sub, orig in enumerate(row_map):
-                i, read = rows[orig]
-                row_first[cols[sub]] = first_raws[i]
-                row_len[cols[sub]] = read.size
+            src = [rows[int(o)] for o in row_map]
+        if src:
+            owners = np.fromiter((i for i, _ in src), dtype=np.int64,
+                                 count=len(src))
+            lens = np.fromiter((r.size for _, r in src), dtype=np.int64,
+                               count=len(src))
+            row_first[cols] = first_arr[owners]
+            row_len[cols] = lens
         trip_cap = 8 * R
         self.dispatch_shapes.add(
             ("record", phases, R, trip_cap, reads_T.shape, seeds_p[0].shape))
@@ -1515,31 +1518,37 @@ class LogBatchedEngine:
                 self.device_retried += int(ovf_rows.size)
         self._tick("complete_retry", t0)
 
-        # exact host path for unseeded / still-overflowed / fallback rows
-        for row, (i, read) in enumerate(rows):
-            if row in host_rows or bool(ovf[row]) or bool(fallback[row]):
-                self.fallback_reasons[
-                    "unseeded" if row in host_rows else
-                    "overflow" if ovf[row] else "record_flagged"] += 1
-                self.host_fallbacks += 1
-                seed = read[read.size - k:].astype(np.uint8).tobytes()
-                seed_states = kmer_index.get(seed, [])
-                states = (search_read_backwards(read, seed_states, k,
-                                                self.idx)
-                          if seed_states else [])
-                if not states:
-                    stats.no_extension_reads_count += 1
-                    continue
-                stats.exact_mapped_reads_count += 1
-                record_search_states(coverage, states, int(read.size),
-                                     self.idx, selection_seeds[i],
-                                     int(first_raws[i]))
-            else:
-                self.device_mapped += 1
-                if mapped[row]:
-                    stats.exact_mapped_reads_count += 1
-                else:
-                    stats.no_extension_reads_count += 1
+        # exact host path for unseeded / still-overflowed / fallback rows;
+        # device rows are tallied vectorised (a per-row Python loop over
+        # throughput-mode buffers costs ~0.1s/buffer of pure iteration)
+        host_mask = np.zeros(nrows, dtype=bool)
+        for r in host_rows:
+            host_mask[r] = True
+        need_host = host_mask | ovf[:nrows] | (fallback[:nrows] != 0)
+        for row in np.flatnonzero(need_host):
+            i, read = rows[row]
+            self.fallback_reasons[
+                "unseeded" if host_mask[row] else
+                "overflow" if ovf[row] else "record_flagged"] += 1
+            self.host_fallbacks += 1
+            seed = read[read.size - k:].astype(np.uint8).tobytes()
+            seed_states = kmer_index.get(seed, [])
+            states = (search_read_backwards(read, seed_states, k,
+                                            self.idx)
+                      if seed_states else [])
+            if not states:
+                stats.no_extension_reads_count += 1
+                continue
+            stats.exact_mapped_reads_count += 1
+            record_search_states(coverage, states, int(read.size),
+                                 self.idx, selection_seeds[i],
+                                 int(first_raws[i]))
+        dev_rows = ~need_host
+        n_dev = int(dev_rows.sum())
+        n_mapped = int((mapped[:nrows] & dev_rows).sum())
+        self.device_mapped += n_dev
+        stats.exact_mapped_reads_count += n_mapped
+        stats.no_extension_reads_count += n_dev - n_mapped
         # compile the retry program now (once) rather than on the first
         # overflowing buffer mid-run
         self.prewarm_retry()
