@@ -820,8 +820,6 @@ class LogBatchedEngine:
         self._sticky_steps = 0
         self._sticky_seeds = 0       # warm-pool ratchet (high-fan-out only)
         self._sticky_np = 64         # padded seed-array length
-        self._seed_proto = None      # (shape[1:], dtype) per seed array
-        self._prewarmed = False
         # observability: one entry per distinct dispatched device shape
         # (== number of XLA compiles a cold cache would pay)
         self.dispatch_shapes = set()
@@ -1056,7 +1054,6 @@ class LogBatchedEngine:
         # count) keeps the record-program shape data-independent
         # (a seed count near a pow2 boundary would otherwise flip the
         # padded shape between buffers -> relay recompile)
-        self._seed_proto = tuple((a.shape[1:], a.dtype) for a in seeds)
         self._sticky_np = max(self._sticky_np,
                               _round_up(4 * S * R, 16384) if S * R >= 4096
                               else _next_pow2(4 * S * R, floor=64))
@@ -1177,7 +1174,7 @@ class LogBatchedEngine:
         packed, self.cov_diff = self._run_record(
             reads_T, carry, seeds_p, row_ok, row_first, row_len,
             phases, R, trip_cap)
-        return ("record", _EagerFetch(packed), R, trip_cap)
+        return ("record", _EagerFetch(packed), R, trip_cap, phases)
 
     def _empty_carry_np(self, nrows: int):
         """Global-space stand-in when nothing was dispatched."""
@@ -1203,26 +1200,13 @@ class LogBatchedEngine:
             t0 = self._tick("complete_get", t0)
             carry_np, log_parent, log_event = self._retry_overflow(
                 carry_np, log_parent, log_event, carry, reads_T, len(rows),
-                R, host_rows=host_rows)
+                phases, R, host_rows=host_rows)
             self._tick("complete_retry", t0)
         else:
             carry_np = self._empty_carry_np(len(rows))
             log_parent = log_event = np.empty(0, dtype=np.int32)
         return (results, rows, carry_np, log_parent, log_event, seeds,
                 host_rows)
-
-    def _retry_shapes(self):
-        """Canonical retry-pass shape: a PURE function of the main row
-        capacity (no data-dependent ratchets, no hits_boost term), so a
-        run dispatches exactly ONE retry program -- compiled during
-        warmup via prewarm_retry, never mid-measurement. Capacity is
-        R/8 rows (one full-budget pool covers ~12% of a buffer
-        re-scanned); overflow beyond it falls back to the exact host
-        path."""
-        R2 = _row_capacity(max(1024, self._sticky_R // 8))
-        pool_r = min(self.cfg.pool, max(32768, _next_pow2(8 * R2)))
-        hits_r = self.cfg.hits * max(1, self._sticky_R // 4096) * 2
-        return R2, pool_r, hits_r
 
     def _globalise_init_rid(self, init_read_id):
         """Init-carry read ids are per-shard local: map to global rows."""
@@ -1233,17 +1217,28 @@ class LogBatchedEngine:
         return np.where(init_read_id >= 0,
                         init_read_id * self.S + shard, -1)
 
-    def _relayout_retry(self, init_carry, ovf_rows, reads_T, nrows):
+    def _relayout_retry(self, init_carry, ovf_rows, reads_T, nrows, phases,
+                        R):
         """Build the retry pass's carry/read matrix: the overflowed rows
         re-numbered 0..n_ovf-1 and redistributed over shards, their pass-1
         seed states replayed from the init carry (same seed list / log
-        references). Rows beyond the canonical retry capacity (or whose
-        states spill the retry pool) keep their overflow flag and fall
-        back to the exact host path. Returns
-        (carry2, reads_T2, p2, R2, retried_rows) or None."""
+        references).
+
+        The retry dispatches the SAME (phases, R) program as the main
+        pass -- one compiled device program per run, no separate retry
+        shape, no prewarm compile (the r3 design's second canonical shape
+        doubled the cold-cache warmup; through the TPU relay each compile
+        is minutes). The budgets that overflowed pass 1 are shared global
+        quotas: with only the overflowed rows live, the retry pass has
+        the whole hit budget and pool to itself, so budget-contention
+        overflow (the common class) recovers; rows whose own state count
+        exceeds the shape fall back to the exact host path. Rows whose
+        seed states spill the pool are dropped from the retried set (flag
+        survives -> host re-map). Returns
+        (carry2, reads_T2, phases, R, retried_rows) or None."""
         S = self.S
-        R2, pool_r, hits_r = self._retry_shapes()
-        ovf_rows = ovf_rows[:S * R2]        # canonical shape = hard cap
+        pool0 = phases[0][1]
+        ovf_rows = ovf_rows[:S * R]
         init_read_id, init_lo, init_hi, init_pref = init_carry[:4]
         init_rid_g = self._globalise_init_rid(init_read_id)
         for _ in range(2):
@@ -1253,12 +1248,12 @@ class LogBatchedEngine:
                 (init_rid_g >= 0)
                 & np.isin(init_rid_g, ovf_rows, assume_unique=False))
             retry_rows = row_map[init_rid_g[sel]]
-            slot, keep, spilled = self._place_states(retry_rows, pool_r)
+            slot, keep, spilled = self._place_states(retry_rows, pool0)
             if not spilled.size:
                 break
-            # rows whose seed states do not fit the retry pool must stay
-            # OUT of the retried set (their overflow flag must survive
-            # the merge -> exact host re-map): drop and re-number
+            # rows whose seed states do not fit the pool must stay OUT of
+            # the retried set (their overflow flag must survive the merge
+            # -> exact host re-map): drop and re-number
             drop_mask = np.zeros(ovf_rows.size, dtype=bool)
             drop_mask[spilled] = True
             ovf_rows = ovf_rows[~drop_mask]
@@ -1266,24 +1261,23 @@ class LogBatchedEngine:
                 return None
         else:
             return None   # still spilling after one re-number: host path
-        carry2 = (np.full(S * pool_r, -1, np.int32),
-                  np.zeros(S * pool_r, np.int32),
-                  np.zeros(S * pool_r, np.int32),
-                  np.zeros(S * pool_r, np.int32),
-                  np.zeros(S * R2, dtype=bool))
+        carry2 = (np.full(S * pool0, -1, np.int32),
+                  np.zeros(S * pool0, np.int32),
+                  np.zeros(S * pool0, np.int32),
+                  np.zeros(S * pool0, np.int32),
+                  np.zeros(S * R, dtype=bool))
         carry2[0][slot] = (retry_rows // S).astype(np.int32)
         carry2[1][slot] = init_lo[sel]
         carry2[2][slot] = init_hi[sel]
         carry2[3][slot] = init_pref[sel]     # same seed list / pass-1 log
-        reads_T2 = np.zeros((reads_T.shape[0], S * R2), dtype=reads_T.dtype)
+        reads_T2 = np.zeros((reads_T.shape[0], S * R), dtype=reads_T.dtype)
         cols_src = self._cols_of(ovf_rows, reads_T.shape[1] // S)
-        cols_dst = self._cols_of(np.arange(ovf_rows.size), R2)
+        cols_dst = self._cols_of(np.arange(ovf_rows.size), R)
         reads_T2[:, cols_dst] = reads_T[:, cols_src]
-        p2 = ((reads_T.shape[0], pool_r, hits_r),)
-        return carry2, reads_T2, p2, R2, ovf_rows
+        return carry2, reads_T2, phases, R, ovf_rows
 
     def _retry_overflow(self, carry_np, log_parent, log_event, init_carry,
-                        reads_T, nrows, R, host_rows=()):
+                        reads_T, nrows, phases, R, host_rows=()):
         """One full-budget device re-scan of reads the phased plan
         overflowed (budget spill or pool shrink), before any host
         fallback. The genealogy-log encoding makes the merge linear:
@@ -1305,7 +1299,8 @@ class LogBatchedEngine:
             return carry_np, log_parent, log_event
         import logging
 
-        relayout = self._relayout_retry(init_carry, ovf_rows, reads_T, nrows)
+        relayout = self._relayout_retry(init_carry, ovf_rows, reads_T, nrows,
+                                        phases, R)
         if relayout is None:
             return carry_np, log_parent, log_event
         carry2, reads_T2, p2, R2, ovf_rows = relayout
@@ -1342,48 +1337,6 @@ class LogBatchedEngine:
                   overflow)
         return (merged, np.concatenate([log_parent, lp2]),
                 np.concatenate([log_event, le2]))
-
-    def prewarm_retry(self):
-        """Compile the retry-pass program during warmup. The retry shape
-        is canonical (_retry_shapes derives it from the main row
-        capacity alone), but it only dispatches when a buffer overflows
-        the phased budgets -- without prewarming, the FIRST overflow of
-        a run pays the minutes-long relay compile mid-measurement.
-        Dispatches one all-padding retry-shaped program (no live states,
-        every row marked host) and blocks until it is compiled+run; a
-        no-op when nothing was dispatched yet or already prewarmed."""
-        if self._prewarmed or self._sticky_R == 0 or self._sticky_steps == 0:
-            return
-        import os
-        flag = os.environ.get("GRAMTOOLS_TPU_PREWARM", "")
-        if flag == "0" or (flag != "1" and jax.default_backend() == "cpu"):
-            # prewarming exists to hide the RELAY compile; on the CPU
-            # test mesh it would only add a slow XLA:CPU compile
-            self._prewarmed = True
-            return
-        self._prewarmed = True
-        S = self.S
-        R2, pool_r, hits_r = self._retry_shapes()
-        p2 = ((self._sticky_steps, pool_r, hits_r),)
-        carry2 = (np.full(S * pool_r, -1, np.int32),
-                  np.zeros(S * pool_r, np.int32),
-                  np.zeros(S * pool_r, np.int32),
-                  np.zeros(S * pool_r, np.int32),
-                  np.zeros(S * R2, dtype=bool))
-        reads_T2 = np.zeros((self._sticky_steps, S * R2), dtype=np.uint8)
-        if self.device_record and self._seed_proto is not None:
-            seeds = tuple(np.zeros((self._sticky_np,) + shp, dt)
-                          for shp, dt in self._seed_proto)
-            dummy_first = np.zeros(1, dtype=np.uint32)
-            token = self._dispatch_record(
-                [], reads_T2, carry2, seeds, set(range(S * R2)),
-                dummy_first, p2, R2,
-                row_map=np.zeros(0, dtype=np.int64))
-            _fetch(token[1])
-        else:
-            self.dispatch_shapes.add(("packed", p2, R2, reads_T2.shape,
-                                      tuple(a.shape for a in carry2)))
-            _fetch(self._run_packed(reads_T2, carry2, p2, R2))
 
     def search_buffer(self, buffer, kmer_index, kmer_size, stats):
         from .search import (handle_allele_encapsulated_states,
@@ -1426,7 +1379,6 @@ class LogBatchedEngine:
                 states = handle_allele_encapsulated_states(
                     per_row_states.get(row, []), self.idx)
             results[i].append((states, int(read.size)))
-        self.prewarm_retry()
         return results
 
     def record_buffer(self, buffer, kmer_index, kmer_size, stats, coverage,
@@ -1469,7 +1421,7 @@ class LogBatchedEngine:
         from .search import search_read_backwards
 
         (results, rows, device_out, seeds, host_rows, carry, reads_T) = token
-        _, packed, R, trip_cap = device_out
+        _, packed, R, trip_cap, phases = device_out
         k = kmer_size if kmer_size is not None else self.kmer_size
         if kmer_index is None:
             kmer_index = self._last_kmer_index
@@ -1500,13 +1452,14 @@ class LogBatchedEngine:
         if ovf_rows.size > max(0.02 * nrows, 8):
             self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
         if (ovf_rows.size >= self.retry_min and reads_T.shape[0] > 0):
-            relayout = self._relayout_retry(carry, ovf_rows, reads_T, nrows)
+            relayout = self._relayout_retry(carry, ovf_rows, reads_T, nrows,
+                                            phases, R)
             if relayout is not None:
                 carry2, reads_T2, p2, R2, ovf_rows = relayout
                 dev2 = self._dispatch_record(
                     rows, reads_T2, carry2, seeds, set(), first_raws, p2, R2,
                     row_map=ovf_rows)
-                _, packed2, _, tc2 = dev2
+                _, packed2, _, tc2, _ = dev2
                 ovf2, fb2, mapped2, loci2 = _unpack_record_result(
                     _fetch(packed2), R2, tc2, n_shards=self.S)
                 if loci2.shape[0]:
@@ -1549,9 +1502,6 @@ class LogBatchedEngine:
         self.device_mapped += n_dev
         stats.exact_mapped_reads_count += n_mapped
         stats.no_extension_reads_count += n_dev - n_mapped
-        # compile the retry program now (once) rather than on the first
-        # overflowing buffer mid-run
-        self.prewarm_retry()
 
     def record_complete(self, token, selection_seeds, first_raws, stats,
                         coverage, kmer_index=None, kmer_size=None):
@@ -1563,7 +1513,7 @@ class LogBatchedEngine:
         from .coverage_fast import SiteMeta, select_and_record
         from .search import search_read_backwards
 
-        if (isinstance(token[2], tuple) and len(token[2]) == 4
+        if (isinstance(token[2], tuple) and len(token[2]) == 5
                 and token[2][0] == "record"):
             return self._record_complete_device(
                 token, selection_seeds, first_raws, stats, coverage,
