@@ -87,6 +87,21 @@ def get_native_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
             i32p, ctypes.c_int32,
         ]
+    if hasattr(_lib, "gram_tpu_cpu_quasimap_e2e"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        _lib.gram_tpu_cpu_quasimap_e2e.restype = ctypes.c_int64
+        _lib.gram_tpu_cpu_quasimap_e2e.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_int8), i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64, ctypes.c_int32,
+            u8p, i64p, i32p, i32p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            i64p, i32p,
+        ]
     return _lib
 
 
@@ -154,6 +169,90 @@ def cpu_quasimap_baseline(idx, jt, reads, n_steps, seed_ptr, seed_lo,
     if total < 0:
         return None
     return out_states, int(total), out_iv
+
+
+def _baseline_tables(idx, jt):
+    """Contiguous index-table views shared by the scan-only and e2e
+    baselines."""
+    fm = idx.fm
+    occ_t = np.ascontiguousarray(fm.occ.T, dtype=np.int32)  # (n+1, 4)
+    sym_start = np.ascontiguousarray(fm.sym_start, dtype=np.int32)
+    marker_prefix = np.ascontiguousarray(fm.marker_prefix, dtype=np.int32)
+    msp = fm.marker_sa_pos
+    if msp.size == 0:
+        marker_rank_locus = np.full(1, -1, dtype=np.int32)
+    else:
+        prg_pos = fm.sa[np.clip(msp, 0, fm.size - 1)]
+        marker_rank_locus = np.ascontiguousarray(
+            jt.pos_to_locus[np.clip(prg_pos, 0, jt.pos_to_locus.shape[0] - 1)],
+            dtype=np.int32)
+    return (occ_t, sym_start, marker_prefix, marker_rank_locus,
+            np.ascontiguousarray(jt.out_lo, dtype=np.int32),
+            np.ascontiguousarray(jt.out_hi, dtype=np.int32),
+            np.ascontiguousarray(jt.ops_kind, dtype=np.int8),
+            np.ascontiguousarray(jt.ops_site, dtype=np.int32),
+            np.ascontiguousarray(jt.ops_allele, dtype=np.int32))
+
+
+def cpu_quasimap_e2e_baseline(idx, jt, kmer_index, reads, sel_seeds,
+                              n_sites: int, max_alleles: int = 8,
+                              state_cap: int = 10000, num_threads: int = 0):
+    """Full-pipeline OpenMP baseline (native/quasimap.cpp
+    gram_tpu_cpu_quasimap_e2e): raw forward reads in, both orientations
+    screened/seeded/scanned, selection + allele-sum tally -- the per-read
+    work of the reference binary's mapping path, for bench.py's
+    like-for-like vs_baseline_e2e. Returns (mapped_flags, n_mapped,
+    allele_sum) or None if the native library is unavailable.
+
+    reads: (R, L) uint8 forward base codes 1..4.
+    sel_seeds: (R,) uint32 per-read selection seeds.
+    """
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "gram_tpu_cpu_quasimap_e2e"):
+        return None
+    k = kmer_index.kmer_size
+    present = kmer_index._presence_bitmap()
+    if present is None:
+        return None
+    present_u8 = np.ascontiguousarray(present, dtype=np.uint8)
+    # dense per-code CSR offsets over the seed-state arrays
+    space = present_u8.size
+    counts = np.zeros(space + 1, dtype=np.int64)
+    counts[kmer_index.codes.astype(np.int64) + 1] = np.diff(
+        kmer_index.offsets)
+    kmer_offsets = np.ascontiguousarray(np.cumsum(counts), dtype=np.int64)
+    tables = _baseline_tables(idx, jt)
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    sel_seeds = np.ascontiguousarray(sel_seeds, dtype=np.uint32)
+    n_reads, read_len = reads.shape
+    allele_sum = np.zeros(n_sites * max_alleles, dtype=np.int64)
+    out_mapped = np.empty(n_reads, dtype=np.int32)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    as_i32 = lambda a: a.ctypes.data_as(i32p)
+    fm = idx.fm
+    total = lib.gram_tpu_cpu_quasimap_e2e(
+        as_i32(tables[0]), as_i32(tables[1]), as_i32(tables[2]),
+        as_i32(tables[3]), as_i32(tables[4]), as_i32(tables[5]),
+        tables[6].ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        as_i32(tables[7]), as_i32(tables[8]),
+        ctypes.c_int64(fm.size), ctypes.c_int32(jt.max_outcomes),
+        ctypes.c_int32(jt.max_ops),
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_reads), ctypes.c_int32(read_len),
+        present_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        kmer_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        as_i32(np.ascontiguousarray(kmer_index.lo, dtype=np.int32)),
+        as_i32(np.ascontiguousarray(kmer_index.hi, dtype=np.int32)),
+        ctypes.c_int32(k),
+        sel_seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n_sites), ctypes.c_int32(max_alleles),
+        ctypes.c_int32(state_cap), ctypes.c_int32(num_threads),
+        allele_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        as_i32(out_mapped))
+    if total < 0:
+        return None
+    return out_mapped.astype(bool), int(total), allele_sum
 
 
 def native_read_batches(path, batch_size: int = 5000,

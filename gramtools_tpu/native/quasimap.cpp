@@ -20,8 +20,11 @@
 // state instead of the reference's per-SA-position scan
 // (vBWT_jump.cpp:94-117), i.e. this baseline is strictly *faster* than a
 // straight port of the reference algorithm would be.
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <random>
 #include <vector>
 
 #if defined(_OPENMP)
@@ -205,6 +208,143 @@ int64_t gram_tpu_cpu_quasimap(
     }
   }
   return total;
+}
+
+// Full-pipeline baseline: the per-read work the reference binary does
+// end-to-end for a raw read buffer (quasimap.cpp:159-194 +
+// quasimap_forward_reverse), so bench.py's vs_baseline_e2e compares
+// EQUAL work on both sides:
+//   * both orientations (reverse complement computed per read),
+//   * the kmer presence screen over every read kmer
+//     (quasimap.cpp:212-225; here an O(1) bitmap per kmer -- faster
+//     than the reference's per-kmer hash lookups, biasing the baseline
+//     FASTER, never slower),
+//   * seeding from the last kmer's precomputed search states,
+//   * the scalar vBWT worklist scan with early exit on die-off,
+//   * mapping-instance selection: group path-bearing states by their
+//     traversed base-site set, one fresh mt19937 +
+//     uniform_int_distribution draw per selection (the reference
+//     constructs the engine per read, common/random.cpp:4-19),
+//   * allele-sum coverage tally of the selected group's loci.
+// Not replicated: per-base coverage spans and the grouped-count hash
+// update (~150 stores + 1 hash insert per read, <1% of the scan cost;
+// omitting them biases the baseline faster). Selection grouping keys on
+// traversed sites rather than LocusFinder's base-site closure -- the
+// closure walk would only ADD baseline work.
+int64_t gram_tpu_cpu_quasimap_e2e(
+    const int32_t* occ, const int32_t* sym_start, const int32_t* marker_prefix,
+    const int32_t* marker_rank_locus, const int32_t* out_lo,
+    const int32_t* out_hi, const int8_t* ops_kind, const int32_t* ops_site,
+    const int32_t* ops_allele, int64_t n, int32_t B, int32_t O,
+    const uint8_t* reads, int64_t n_reads, int32_t read_len,
+    const uint8_t* kmer_present, const int64_t* kmer_offsets,
+    const int32_t* kseed_lo, const int32_t* kseed_hi, int32_t k,
+    const uint32_t* sel_seeds, int64_t n_sites, int32_t max_alleles,
+    int32_t state_cap, int32_t num_threads,
+    int64_t* allele_sum, int32_t* out_mapped) {
+  Tables t{occ,    sym_start, marker_prefix, marker_rank_locus,
+           out_lo, out_hi,    ops_kind,      ops_site,
+           ops_allele, n,     B,             O};
+#if defined(_OPENMP)
+  if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+  const uint32_t kmask = (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
+  int64_t total_mapped = 0;
+#if defined(_OPENMP)
+#pragma omp parallel reduction(+ : total_mapped)
+#endif
+  {
+    std::vector<State> states;
+    std::vector<State> next;
+    std::vector<uint8_t> oriented(read_len);
+    std::vector<int64_t> local_sum(
+        static_cast<size_t>(n_sites) * max_alleles, 0);
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t i = 0; i < n_reads; ++i) {
+      const uint8_t* fwd = reads + i * read_len;
+      bool mapped = false;
+      for (int ori = 0; ori < 2; ++ori) {
+        if (ori == 0) {
+          std::memcpy(oriented.data(), fwd, read_len);
+        } else {
+          for (int32_t p = 0; p < read_len; ++p)
+            oriented[p] = 5 - fwd[read_len - 1 - p];
+        }
+        // ---- kmer presence screen (all windows) ----
+        bool pass = read_len >= k;
+        uint32_t code = 0;
+        for (int32_t p = 0; p < read_len && pass; ++p) {
+          code = ((code << 2) | (oriented[p] - 1)) & kmask;
+          if (p >= k - 1 && !kmer_present[code]) pass = false;
+        }
+        if (!pass) continue;
+        // ---- seed from the last kmer ----
+        states.clear();
+        for (int64_t sidx = kmer_offsets[code]; sidx < kmer_offsets[code + 1];
+             ++sidx) {
+          State s;
+          s.lo = kseed_lo[sidx];
+          s.hi = kseed_hi[sidx];
+          states.push_back(std::move(s));
+        }
+        // ---- scalar vBWT scan, right-to-left over the body ----
+        bool ok = true;
+        for (int32_t p = read_len - k - 1; p >= 0 && !states.empty(); --p) {
+          if (!search_step(t, oriented[p], states, next, state_cap)) {
+            ok = false;
+            break;
+          }
+        }
+        if (!ok || states.empty()) continue;
+        mapped = true;
+        // ---- selection: non-variant instances + site-set groups ----
+        int64_t nonvariant = 0;
+        std::map<std::vector<int32_t>, std::vector<Locus>> groups;
+        for (const State& s : states) {
+          if (s.traversed.empty() && s.traversing.empty()) {
+            nonvariant += s.hi - s.lo + 1;
+            continue;
+          }
+          std::vector<int32_t> key;
+          key.reserve(s.traversed.size() + s.traversing.size());
+          for (const Locus& l : s.traversed) key.push_back(l.site);
+          for (const Locus& l : s.traversing) key.push_back(l.site);
+          std::sort(key.begin(), key.end());
+          key.erase(std::unique(key.begin(), key.end()), key.end());
+          auto& loci = groups[key];
+          for (const Locus& l : s.traversed) loci.push_back(l);
+        }
+        if (groups.empty()) continue;
+        const int64_t total = nonvariant + static_cast<int64_t>(groups.size());
+        std::mt19937 eng(sel_seeds[i]);
+        std::uniform_int_distribution<uint32_t> dist(
+            1, static_cast<uint32_t>(total));
+        const int64_t selected = dist(eng);
+        if (selected <= nonvariant) continue;
+        int64_t gi = selected - nonvariant - 1;
+        auto it = groups.begin();
+        std::advance(it, gi);
+        for (const Locus& l : it->second) {
+          const int64_t site_idx = (l.site - 5) / 2;
+          if (site_idx >= 0 && site_idx < n_sites && l.allele >= 1 &&
+              l.allele <= max_alleles)
+            local_sum[site_idx * max_alleles + (l.allele - 1)] += 1;
+        }
+      }
+      out_mapped[i] = mapped ? 1 : 0;
+      if (mapped) total_mapped += 1;
+    }
+#if defined(_OPENMP)
+#pragma omp critical
+#endif
+    {
+      for (size_t j = 0; j < local_sum.size(); ++j)
+        allele_sum[j] += local_sum[j];
+    }
+  }
+  return total_mapped;
 }
 
 }  // extern "C"

@@ -106,3 +106,59 @@ def test_cpu_baseline_matches_host(seed, nested):
         checked += 1
     assert checked == len(rows)
     assert total == int(np.maximum(out_states, 0).sum())
+
+
+def test_cpu_e2e_baseline_mapped_flags_match_oracle():
+    """Full-pipeline baseline (gram_tpu_cpu_quasimap_e2e): its per-read
+    mapped verdicts (either orientation screened + seeded + scanned)
+    must match the host scalar oracle's, and selected-loci tallies must
+    stay within the mapped-read budget."""
+    from gramtools_tpu.common.seq import revcomp
+    from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
+    from gramtools_tpu.index.native import cpu_quasimap_e2e_baseline
+    from gramtools_tpu.mapping.quasimap import all_read_kmers_in_index
+    from gramtools_tpu.mapping.search import search_read_backwards
+
+    rng = np.random.RandomState(5)
+    tail = "".join(rng.choice(list("ACGT"), size=300))
+    prg_str = (tail[:80] + "[A,C]" + tail[80:160] + "[AG,T]"
+               + tail[160:240] + "[G,C,T]" + tail[240:])
+    prg = PrgString(prg_string_to_ints(prg_str))
+    idx = build_prg_index(prg)
+    k = 5
+    kmer_index = build_kmer_index_vectorised(idx, k)
+    jt = build_jump_table(idx)
+
+    syms = np.asarray(prg.ints)
+    dna = syms[syms <= 4].astype(np.uint8)
+    n_reads, L = 60, 40
+    reads = np.empty((n_reads, L), dtype=np.uint8)
+    for i in range(n_reads):
+        start = rng.randint(0, dna.size - L)
+        reads[i] = dna[start:start + L]
+        if i % 3 == 2:          # a third of reads reverse-complemented
+            reads[i] = revcomp(reads[i])
+    seeds = rng.randint(0, 2 ** 32, size=n_reads).astype(np.uint32)
+
+    res = cpu_quasimap_e2e_baseline(idx, jt, kmer_index, reads, seeds,
+                                    n_sites=3, max_alleles=4, num_threads=2)
+    assert res is not None, "native e2e baseline unavailable"
+    mapped, total, allele_sum = res
+    assert total == int(mapped.sum())
+
+    expected = []
+    for r in reads:
+        m = False
+        for oriented in (r, revcomp(r)):
+            if not all_read_kmers_in_index(k, oriented, kmer_index):
+                continue
+            seed_states = kmer_index.get(
+                oriented[oriented.size - k:].astype(np.uint8).tobytes(), [])
+            states = (search_read_backwards(oriented, seed_states, k, idx)
+                      if seed_states else [])
+            if states:
+                m = True
+        expected.append(m)
+    assert np.array_equal(mapped, np.asarray(expected))
+    # each mapped orientation contributes at most its loci once per site
+    assert allele_sum.sum() <= 2 * total * 3
