@@ -90,23 +90,71 @@ def quasimap_forward_reverse(read, coverage, kmer_index, idx, kmer_size,
                   selection_seed, first_raw)
 
 
+class ReadBatch:
+    """Equal-length read buffer backed by one (n, L) uint8 matrix.
+
+    Quacks like the legacy list-of-arrays buffer (len, indexing,
+    iteration; invalid = non-ACGT reads index as empty arrays,
+    utils.cpp:73-80) while letting the batched engine consume the
+    matrix directly -- building 20k per-read Python arrays and
+    re-stacking them cost ~0.2s/throughput buffer, pure overhead."""
+
+    __slots__ = ("mat", "_invalid")
+
+    def __init__(self, mat: np.ndarray):
+        self.mat = mat
+        self._invalid = None
+
+    @property
+    def invalid(self) -> np.ndarray:
+        if self._invalid is None:
+            self._invalid = (self.mat == 0).any(axis=1)
+        return self._invalid
+
+    def __len__(self):
+        return self.mat.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if self.invalid[i]:
+            return np.empty(0, dtype=np.uint8)
+        return self.mat[i]
+
+    def __iter__(self):
+        inv = self.invalid
+        empty = np.empty(0, dtype=np.uint8)
+        for i in range(self.mat.shape[0]):
+            yield empty if inv[i] else self.mat[i]
+
+
 def iter_read_buffers(reads_fpath, buffer_size: Optional[int] = None
                       ) -> Iterable[List[np.ndarray]]:
     """Buffers of int-encoded reads; non-ACGT reads become empty
-    (utils.cpp:73-80). Uses the native C++ parser when built."""
+    (utils.cpp:73-80). Uses the native C++ parser when built; batches of
+    equal-length reads come back as ReadBatch (one matrix, no per-read
+    Python objects)."""
     from ..common.sam import detect_format
-    from ..index.native import native_read_batches
+    from ..index.native import native_read_batches_flat
 
     size = READS_BUFFER_SIZE if buffer_size is None else buffer_size
     # the native parser only speaks fasta/fastq(.gz); SAM/BAM go through
     # the python decoders in common/sam.py
     native = None
     if detect_format(reads_fpath) in ("fasta", "fastq"):
-        native = native_read_batches(reads_fpath, batch_size=size)
+        native = native_read_batches_flat(reads_fpath, batch_size=size)
     if native is not None:
-        for batch in native:
-            yield [r if not np.any(r == 0) else np.empty(0, dtype=np.uint8)
-                   for r in batch]
+        for flat, lens in native:
+            n = lens.size
+            if n and (lens == lens[0]).all() and lens[0] > 0:
+                yield ReadBatch(flat.reshape(n, int(lens[0])))
+                continue
+            offs = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+            yield [flat[offs[i]:offs[i + 1]]
+                   if lens[i] > 0 and not np.any(
+                       flat[offs[i]:offs[i + 1]] == 0)
+                   else np.empty(0, dtype=np.uint8)
+                   for i in range(n)]
         return
 
     buffer: List[np.ndarray] = []

@@ -536,11 +536,17 @@ def _filter_buffer_rows(buffer, kmer_index, k, stats):
     None). Shared by LogBatchedEngine.scan_submit and the mesh engine
     (parallel/mesh.py)."""
     from ..common.seq import _COMPLEMENT_LUT, revcomp
-    from .quasimap import all_read_kmers_in_index
+    from .quasimap import ReadBatch, all_read_kmers_in_index
 
-    results = [[] for _ in buffer]
-    sizes = np.array([r.size for r in buffer], dtype=np.int64)
-    nz = np.flatnonzero(sizes > 0)
+    results = [[] for _ in range(len(buffer))]
+    if isinstance(buffer, ReadBatch):
+        # matrix-backed buffer: no per-read Python objects anywhere
+        nz = np.flatnonzero(~buffer.invalid)
+        L0 = buffer.mat.shape[1]
+        sizes = np.where(buffer.invalid, 0, L0).astype(np.int64)
+    else:
+        sizes = np.array([r.size for r in buffer], dtype=np.int64)
+        nz = np.flatnonzero(sizes > 0)
     stats.all_reads_count += 2 * len(buffer)
     stats.skipped_reads_count += 2 * int(len(buffer) - nz.size)
     if nz.size == 0:
@@ -551,7 +557,8 @@ def _filter_buffer_rows(buffer, kmer_index, k, stats):
     if equal_len and matrix_filter is not None and sizes[nz[0]] >= k:
         # equal-length fast path: one (2n, L) matrix, vectorised
         # revcomp + filter, row views into the matrix afterwards
-        fwd = np.stack([buffer[i] for i in nz])
+        fwd = (buffer.mat[nz] if isinstance(buffer, ReadBatch)
+               else np.stack([buffer[i] for i in nz]))
         mat = np.empty((2 * nz.size, fwd.shape[1]), dtype=np.uint8)
         mat[0::2] = fwd
         mat[1::2] = _COMPLEMENT_LUT[fwd[:, ::-1]]
@@ -1432,6 +1439,7 @@ class LogBatchedEngine:
             flat, R, trip_cap, n_shards=self.S)
         nrows = len(rows)
         fold_loci_rows(coverage, loci_rows)
+        t0 = self._tick("complete_fold", t0)
         from .record_jax import FB_NAMES
         for bit, name in FB_NAMES.items():
             n_bit = int(((fallback[:nrows] & bit) != 0).sum())
@@ -1469,7 +1477,7 @@ class LogBatchedEngine:
                 fallback[ovf_rows] = fb2[:ovf_rows.size]
                 mapped[ovf_rows] = mapped2[:ovf_rows.size]
                 self.device_retried += int(ovf_rows.size)
-        self._tick("complete_retry", t0)
+        t0 = self._tick("complete_retry", t0)
 
         # exact host path for unseeded / still-overflowed / fallback rows;
         # device rows are tallied vectorised (a per-row Python loop over
@@ -1502,6 +1510,7 @@ class LogBatchedEngine:
         self.device_mapped += n_dev
         stats.exact_mapped_reads_count += n_mapped
         stats.no_extension_reads_count += n_dev - n_mapped
+        self._tick("complete_hostmap", t0)
 
     def record_complete(self, token, selection_seeds, first_raws, stats,
                         coverage, kmer_index=None, kmer_size=None):
