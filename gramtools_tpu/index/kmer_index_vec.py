@@ -332,13 +332,9 @@ class ArrayKmerIndex:
             out[c0:c0 + chunk] = hit.all(axis=1)
         return out
 
-    def seed_batch(self, last_kmers: np.ndarray):
-        """Vectorised seed lookup for a batch: last_kmers (R, k) uint8.
-
-        Returns (owner_row, lo, hi, trav, n_trav, ing, n_ing): one entry
-        per seed state, owner_row = read row it belongs to (rows whose
-        kmer is absent contribute no states).
-        """
+    def _seed_indices(self, last_kmers: np.ndarray):
+        """(owner_row, sidx): one entry per seed state of the batch;
+        sidx = global index into the CSR state arrays."""
         k = self.kmer_size
         powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
         codes = (last_kmers.astype(np.int64) - 1) @ powers
@@ -353,9 +349,28 @@ class ArrayKmerIndex:
         owner = np.repeat(np.arange(codes.size), counts)
         first_of = np.repeat(np.cumsum(counts) - counts, counts)
         sidx = np.repeat(starts, counts) + (np.arange(total) - first_of)
-        return (owner.astype(np.int32), self.lo[sidx], self.hi[sidx],
+        return owner.astype(np.int32), sidx
+
+    def seed_batch_indices(self, last_kmers: np.ndarray):
+        """Seed lookup returning only (owner_row, sidx): the device
+        record path keeps the state payloads RESIDENT on device
+        (record_jax.SeedTables) and gathers them by sidx there, so the
+        host neither gathers nor ships the (n, P, 2) path arrays
+        (~22MB/buffer through a ~25MB/s relay link)."""
+        return self._seed_indices(last_kmers)
+
+    def seed_batch(self, last_kmers: np.ndarray):
+        """Vectorised seed lookup for a batch: last_kmers (R, k) uint8.
+
+        Returns (owner_row, lo, hi, trav, n_trav, ing, n_ing, sidx): one
+        entry per seed state, owner_row = read row it belongs to (rows
+        whose kmer is absent contribute no states), sidx = global CSR
+        state index.
+        """
+        owner, sidx = self._seed_indices(last_kmers)
+        return (owner, self.lo[sidx], self.hi[sidx],
                 self.trav[sidx], self.n_trav[sidx], self.ing[sidx],
-                self.n_ing[sidx])
+                self.n_ing[sidx], sidx)
 
     # --- serialisation -----------------------------------------------------
 

@@ -164,17 +164,76 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclass
+class SeedTables:
+    """The kmer index's seed-state payloads, RESIDENT on device.
+
+    The relay link moves ~25MB/s: shipping per-buffer gathered copies of
+    the seed path arrays (two (n_states, P, 2) int32 pads ~= 22MB at
+    throughput buffer sizes) dominated e2e wall time. These tables are
+    uploaded ONCE per index; per buffer only the placed state INDICES
+    cross the link and the device gathers payloads locally. Paths are
+    CSR-packed ((sum n_trav, 2) flat + per-state offsets) -- most seed
+    states carry 0-2 path entries, so the dense (Ns, P, 2) layout is
+    ~90% padding."""
+
+    k_lo: jnp.ndarray       # (Ns,) int32 seed SA interval lo
+    k_hi: jnp.ndarray       # (Ns,) int32
+    k_nt: jnp.ndarray       # (Ns,) int32 traversed-path lengths
+    k_ni: jnp.ndarray       # (Ns,) int32 traversing-path lengths
+    k_toff: jnp.ndarray     # (Ns,) int32 CSR offsets into t_flat
+    k_ioff: jnp.ndarray     # (Ns,) int32 CSR offsets into i_flat
+    t_flat: jnp.ndarray     # (sum n_trav | 1, 2) int32
+    i_flat: jnp.ndarray     # (sum n_ing | 1, 2) int32
+    n_states: int
+    max_path: int
+
+    @classmethod
+    def build(cls, kmer_index) -> "SeedTables":
+        def csr(arr, lens):
+            lens64 = lens.astype(np.int64)
+            off = np.zeros(lens64.size, np.int64)
+            off[1:] = np.cumsum(lens64)[:-1]
+            total = int(lens64.sum())
+            rows = np.repeat(np.arange(lens64.size), lens64)
+            slots = np.arange(total) - np.repeat(off, lens64)
+            flat = (arr[rows, slots].astype(np.int32) if total
+                    else np.zeros((1, 2), np.int32))
+            return off.astype(np.int32), flat
+
+        toff, t_flat = csr(kmer_index.trav, kmer_index.n_trav)
+        ioff, i_flat = csr(kmer_index.ing, kmer_index.n_ing)
+        return cls(
+            k_lo=jnp.asarray(kmer_index.lo.astype(np.int32)),
+            k_hi=jnp.asarray(kmer_index.hi.astype(np.int32)),
+            k_nt=jnp.asarray(kmer_index.n_trav.astype(np.int32)),
+            k_ni=jnp.asarray(kmer_index.n_ing.astype(np.int32)),
+            k_toff=jnp.asarray(toff), k_ioff=jnp.asarray(ioff),
+            t_flat=jnp.asarray(t_flat), i_flat=jnp.asarray(i_flat),
+            n_states=int(kmer_index.lo.size),
+            max_path=int(kmer_index.trav.shape[1]),
+        )
+
+
+jax.tree_util.register_dataclass(
+    SeedTables,
+    data_fields=["k_lo", "k_hi", "k_nt", "k_ni", "k_toff", "k_ioff",
+                 "t_flat", "i_flat"],
+    meta_fields=["n_states", "max_path"],
+)
+
+
 # --------------------------------------------------------------------------
 # stage 1: genealogy replay on device
 # --------------------------------------------------------------------------
 
 
 def replay_device(di: DeviceIndex, f_pref, log_parent, log_event,
-                  s_trav, s_nt, s_ing, s_ni, alive):
+                  st: "SeedTables", alive):
     """Rebuild (trav, n_trav, ing, n_ing) for every pool state.
 
-    f_pref: (N,) genealogy refs (negative = seed index -p-1); s_*: seed
-    path arrays (Ns, P0, 2)/(Ns,); alive: (N,) bool. Returns trav
+    f_pref: (N,) genealogy refs (negative = GLOBAL seed-state index
+    -p-1 into the resident SeedTables); alive: (N,) bool. Returns trav
     (N, TCAP, 2), n_trav, ing (N, TCAP, 2), n_ing, bad (N,) bool (chain
     depth / path capacity overflow)."""
     N = f_pref.shape[0]
@@ -196,17 +255,24 @@ def replay_device(di: DeviceIndex, f_pref, log_parent, log_event,
         0, MAX_CHAIN, chase,
         (p0, jnp.full((MAX_CHAIN, N), -1, jnp.int32)))
     bad = alive & (p >= 0)  # chain longer than MAX_CHAIN
-    seed_idx = jnp.clip(-p - 1, 0, max(s_nt.shape[0] - 1, 0))
+    seed_idx = jnp.clip(-p - 1, 0, max(st.n_states - 1, 0))
 
-    P0 = s_trav.shape[1] if s_trav.ndim == 3 else 0
+    # seed paths gathered from the RESIDENT CSR tables by global index
+    P0c = min(st.max_path, TCAP)
     trav = jnp.zeros((N, TCAP, 2), jnp.int32)
     ing = jnp.zeros((N, TCAP, 2), jnp.int32)
-    if P0:
-        p0c = min(P0, TCAP)
-        trav = trav.at[:, :p0c].set(s_trav[seed_idx, :p0c].astype(jnp.int32))
-        ing = ing.at[:, :p0c].set(s_ing[seed_idx, :p0c].astype(jnp.int32))
-    n_trav = s_nt[seed_idx].astype(jnp.int32)
-    n_ing = s_ni[seed_idx].astype(jnp.int32)
+    n_trav = st.k_nt[seed_idx].astype(jnp.int32)
+    n_ing = st.k_ni[seed_idx].astype(jnp.int32)
+    if P0c:
+        sl = jnp.arange(P0c, dtype=jnp.int32)
+        tg = jnp.clip(st.k_toff[seed_idx][:, None] + sl[None, :], 0,
+                      st.t_flat.shape[0] - 1)
+        ig = jnp.clip(st.k_ioff[seed_idx][:, None] + sl[None, :], 0,
+                      st.i_flat.shape[0] - 1)
+        tmask = (sl[None, :] < n_trav[:, None])[:, :, None]
+        imask = (sl[None, :] < n_ing[:, None])[:, :, None]
+        trav = trav.at[:, :P0c].set(jnp.where(tmask, st.t_flat[tg], 0))
+        ing = ing.at[:, :P0c].set(jnp.where(imask, st.i_flat[ig], 0))
     bad |= alive & ((n_trav > TCAP) | (n_ing > TCAP))
 
     kind2 = di.ops_kind.reshape(-1, di.n_ops)

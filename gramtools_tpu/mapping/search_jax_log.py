@@ -327,18 +327,61 @@ def _log_search_packed(di: DeviceIndex, reads_T, carry, phases, num_reads,
                         blocks=blocks, rank=rank)
 
 
-def _record_body(di: DeviceIndex, rt, reads_T, carry,
-                 s_trav, s_nt, s_ing, s_ni,
+def _pack_reads2(reads_T: np.ndarray) -> np.ndarray:
+    """(steps, SR) uint8 base codes 0..4 -> (steps/4, SR) uint8 packed
+    2-bit codes (code = base-1 mod 4; zero-pads become 3 and are masked
+    on device by row_len -- see _unpack_reads2). Quarters the read
+    matrix's host->device bytes."""
+    steps = reads_T.shape[0]
+    assert steps % 4 == 0, steps
+    pr = (reads_T - np.uint8(1)) & np.uint8(3)
+    return (pr[0::4] | (pr[1::4] << 2) | (pr[2::4] << 4)
+            | (pr[3::4] << 6)).astype(np.uint8)
+
+
+def _unpack_reads2(reads_p, row_len, steps: int, kmer_size: int):
+    """2-bit packed read matrix -> (steps, SR) int32 base codes.
+
+    reads_p: (ceil(steps/4), SR) uint8, 4 bases/byte along the step
+    axis (code = base-1). Bases past a row's body (row_len - k) are 0
+    (= inactive), reproducing the legacy zero-padded reads_T. Packing
+    quarters the largest remaining per-buffer host->device transfer."""
+    b = reads_p.astype(jnp.int32)
+    parts = [(b >> (2 * j)) & 3 for j in range(4)]
+    codes = jnp.stack(parts, axis=1).reshape(4 * reads_p.shape[0],
+                                             reads_p.shape[1])[:steps]
+    n_steps_row = jnp.clip(row_len - kmer_size, 0, steps)
+    return jnp.where(jnp.arange(steps)[:, None] < n_steps_row[None, :],
+                     codes + 1, 0)
+
+
+def _record_body(di: DeviceIndex, rt, st, reads_p, slot_sidx, slot_row,
                  row_ok, row_first_raw, row_len, cov_diff,
-                 phases, num_reads, trip_cap, blocks=None, rank="dense"):
+                 phases, num_reads, trip_cap, kmer_size,
+                 blocks=None, rank="dense"):
     """Fused scan + device-side selection/recording (record_jax.py),
     shared by the single-chip jit and the shard_map builder.
 
-    Nothing bulky crosses the relay: the genealogy log is replayed on
-    device, per-base coverage accumulates in the donated diff array, and
-    the packed result is just per-row flags + compact selected-loci
+    Nothing bulky crosses the relay IN EITHER DIRECTION: reads arrive
+    2-bit packed, the initial carry is built on device from the placed
+    seed-state indices (payloads gathered from the resident
+    record_jax.SeedTables), the genealogy log is replayed on device,
+    per-base coverage accumulates in the donated diff array, and the
+    packed result is just per-row flags + compact selected-loci
     triples."""
     from .record_jax import replay_device, select_and_record_device
+
+    steps = sum(n for n, _, _ in phases)
+    reads_T = _unpack_reads2(reads_p, row_len, steps, kmer_size)
+
+    # initial carry from the placed (slot -> seed state, row) maps
+    sidx_ok = slot_sidx >= 0
+    sidc = jnp.clip(slot_sidx, 0, st.n_states - 1)
+    carry = (jnp.where(sidx_ok, slot_row, -1).astype(jnp.int32),
+             jnp.where(sidx_ok, st.k_lo[sidc], 0).astype(jnp.int32),
+             jnp.where(sidx_ok, st.k_hi[sidc], 0).astype(jnp.int32),
+             jnp.where(sidx_ok, -(slot_sidx + 1), 0).astype(jnp.int32),
+             jnp.zeros((num_reads,), bool))
 
     carry, (lp, le) = _log_search_phases(
         di, reads_T, carry, phases, num_reads,
@@ -346,7 +389,7 @@ def _record_body(di: DeviceIndex, rt, reads_T, carry,
     rid, lo, hi, pref, ovf = carry
     alive = rid >= 0
     trav, n_trav, ing, n_ing, bad = replay_device(
-        di, pref, lp, le, s_trav, s_nt, s_ing, s_ni, alive)
+        di, pref, lp, le, st, alive)
     row_ok2 = row_ok & ~ovf
     fallback, mapped, t_row, t_site, t_allele, cov_diff = \
         select_and_record_device(
@@ -358,16 +401,17 @@ def _record_body(di: DeviceIndex, rt, reads_T, carry,
     return packed, cov_diff
 
 
-@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap", "rank"),
-         donate_argnums=(11,))
-def _log_search_record(di: DeviceIndex, rt, reads_T, carry,
-                       s_trav, s_nt, s_ing, s_ni,
+@partial(jax.jit, static_argnames=("phases", "num_reads", "trip_cap",
+                                   "kmer_size", "rank"),
+         donate_argnums=(9,))
+def _log_search_record(di: DeviceIndex, rt, st, reads_p, slot_sidx, slot_row,
                        row_ok, row_first_raw, row_len, cov_diff,
-                       phases, num_reads, trip_cap,
+                       phases, num_reads, trip_cap, kmer_size,
                        blocks=None, rank="dense"):
-    return _record_body(di, rt, reads_T, carry, s_trav, s_nt, s_ing, s_ni,
+    return _record_body(di, rt, st, reads_p, slot_sidx, slot_row,
                         row_ok, row_first_raw, row_len, cov_diff,
-                        phases, num_reads, trip_cap, blocks=blocks, rank=rank)
+                        phases, num_reads, trip_cap, kmer_size,
+                        blocks=blocks, rank=rank)
 
 
 def _unpack_record_result(flat: np.ndarray, num_reads: int, trip_cap: int,
@@ -465,14 +509,20 @@ def _unpack_result(flat: np.ndarray, phases, num_reads: int,
 
 def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
                 n_seed_states: int = 0):
-    """Segment plan: full (pool, hits) while seed states die off (multiple
-    kmer seeds per read collapse to ~1 survivor within a few bases), a
-    mid segment at ~2 live states/read, then a steady tail at ~1.25
-    states/read with a quartered hit budget. States sliced off by a
-    shrink flag their read for exact host re-mapping, so an
-    under-provisioned tail costs fallback work, never correctness.
-    Swept on TPU v5e (4.4Mb/100k-site graph, 4096x150bp): 29.1k reads/s
-    (single shrink at step 16) -> 39.3k reads/s (this plan), 0 overflow.
+    """Segment plan sized from MEASURED state/hit decay (4.4Mb/100k-site
+    graph, 150bp reads, k=10, scaled to rows): live states collapse
+    124k -> 60k -> 37k -> 28k over steps 0..4 and stay flat at ~0.67
+    states/row; marker hits burst to ~15.8k@40960 rows in step 0 and
+    settle under ~1.6k from step 3 on. The per-step device cost is
+    dominated by terms LINEAR in (pool + hit budget) -- the LF occ
+    gather, the newborn jump/occ gathers and the repack scatter
+    (tools/step_ablate.py) -- so the plan shrinks both as fast as the
+    measured decay allows: 2 warm steps at the full budgets, 4 mid
+    steps at (1.5R, G/4), then the tail at (1.25R, G/8). States sliced
+    off by a shrink flag their read for exact host re-mapping and
+    budget overflow triggers a same-shape retry pass, so an
+    under-provisioned plan costs fallback/retry work, never
+    correctness.
 
     The warm pool is max(pow2(4 x rows), pow2(2 x seed states)): the 4R
     floor covers the measured ~3.1 kmer-seed fan-out of production k=10
@@ -482,14 +532,14 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
     seed-state term is a grow-only ratchet that matters only for
     high-fan-out graphs (small k), where an extra compile beats
     mass-spilling rows to the host engine."""
-    WARM, MID = 8, 24
+    WARM, MID = 2, 4
     pool_warm = min(cfg.pool, max(_next_pow2(4 * num_reads, floor=64),
                                   _next_pow2(2 * n_seed_states, floor=64)
                                   if n_seed_states else 64))
-    pool_mid = min(pool_warm, max(_next_pow2(2 * num_reads, floor=64), 64))
-    hits_mid = min(cfg.hits, max(3 * cfg.hits // 8, 8))
+    pool_mid = min(pool_warm, max(_round_up(3 * num_reads // 2, 64), 64))
+    hits_mid = min(cfg.hits, max(cfg.hits // 4, 8))
     pool_tail = min(pool_mid, max(_round_up(5 * num_reads // 4, 64), 64))
-    hits_tail = min(hits_mid, max(cfg.hits // 4, 8))
+    hits_tail = min(hits_mid, max(cfg.hits // 8, 8))
     plan = []
     remaining = steps
     for length, pool, hits in ((WARM, pool_warm, cfg.hits),
@@ -795,6 +845,8 @@ class LogBatchedEngine:
         self.device_record = os.environ.get(
             "GRAMTOOLS_TPU_DEVICE_RECORD", "1") == "1"
         self.rt = None               # RecordTables, built lazily
+        self.st = None               # resident SeedTables (record mode)
+        self._st_for = None          # kmer index the SeedTables were built for
         self.cov_diff = None         # persistent device per-base diff array
         self.host_fallbacks = 0
         self.device_mapped = 0
@@ -826,7 +878,6 @@ class LogBatchedEngine:
         self._sticky_R = 0
         self._sticky_steps = 0
         self._sticky_seeds = 0       # warm-pool ratchet (high-fan-out only)
-        self._sticky_np = 64         # padded seed-array length
         # observability: one entry per distinct dispatched device shape
         # (== number of XLA compiles a cold cache would pay)
         self.dispatch_shapes = set()
@@ -914,47 +965,49 @@ class LogBatchedEngine:
         return fn(self.di, self._blocks_arg(), jnp.asarray(reads_T),
                   jax.device_put(carry))
 
-    def _run_record(self, reads_T, carry, seeds_p, row_ok, row_first,
+    def _run_record(self, reads_p, slot_sidx, slot_row, row_ok, row_first,
                     row_len, phases, R, trip_cap):
         """Dispatch the fused scan+select+record program; returns
         (packed result, new cov_diff)."""
         if self.S == 1:
             return _log_search_record(
-                self.di, self.rt, jnp.asarray(reads_T),
-                jax.device_put(carry), *(jnp.asarray(a) for a in seeds_p),
+                self.di, self.rt, self.st, jnp.asarray(reads_p),
+                jnp.asarray(slot_sidx), jnp.asarray(slot_row),
                 jnp.asarray(row_ok), jnp.asarray(row_first),
                 jnp.asarray(row_len), self.cov_diff, phases, R, trip_cap,
-                blocks=self.blocks, rank=self.rank)
-        key = ("record", phases, R, trip_cap, seeds_p[0].shape)
+                self.kmer_size, blocks=self.blocks, rank=self.rank)
+        key = ("record", phases, R, trip_cap)
         fn = self._shard_cache.get(key)
         if fn is None:
             P, di_specs = self._shard_specs()
             rt_specs = jax.tree_util.tree_map(lambda _: P(), self.rt)
+            st_specs = jax.tree_util.tree_map(lambda _: P(), self.st)
             rank = self.rank
             has_blocks = self.blocks is not None
+            kmer_size = self.kmer_size
 
-            def shard_fn(di, rt, blocks, reads_T, carry, s_trav, s_nt,
-                         s_ing, s_ni, row_ok, row_first, row_len, cov_diff):
+            def shard_fn(di, rt, st, blocks, reads_p, slot_sidx, slot_row,
+                         row_ok, row_first, row_len, cov_diff):
                 packed, cd = _record_body(
-                    di, rt, reads_T, carry, s_trav, s_nt, s_ing, s_ni,
+                    di, rt, st, reads_p, slot_sidx, slot_row,
                     row_ok, row_first, row_len, cov_diff[0], phases, R,
-                    trip_cap, blocks=blocks if has_blocks else None,
-                    rank=rank)
+                    trip_cap, kmer_size,
+                    blocks=blocks if has_blocks else None, rank=rank)
                 return packed, cd[None, :]
 
             fn = jax.jit(shard_map(
                 shard_fn, mesh=self.mesh,
-                in_specs=(di_specs, rt_specs, P(), P(None, "data"),
-                          (P("data"),) * 5, P(), P(), P(), P(),
+                in_specs=(di_specs, rt_specs, st_specs, P(),
+                          P(None, "data"), P("data"), P("data"),
                           P("data"), P("data"), P("data"), P("data", None)),
                 out_specs=(P("data"), P("data", None)),
-                check_vma=False), donate_argnums=(12,))
+                check_vma=False), donate_argnums=(10,))
             self._shard_cache[key] = fn
         packed, self_cov = fn(
-            self.di, self.rt, self._blocks_arg(), jnp.asarray(reads_T),
-            jax.device_put(carry), *(jnp.asarray(a) for a in seeds_p),
-            jnp.asarray(row_ok), jnp.asarray(row_first),
-            jnp.asarray(row_len), self.cov_diff)
+            self.di, self.rt, self.st, self._blocks_arg(),
+            jnp.asarray(reads_p), jnp.asarray(slot_sidx),
+            jnp.asarray(slot_row), jnp.asarray(row_ok),
+            jnp.asarray(row_first), jnp.asarray(row_len), self.cov_diff)
         return packed, self_cov
 
     def _scan_rows(self, buffer, kmer_index, kmer_size, stats):
@@ -999,7 +1052,16 @@ class LogBatchedEngine:
         host_rows = set()
 
         seed_fn = getattr(kmer_index, "seed_batch", None)
-        if seed_fn is not None and getattr(kmer_index, "trav", None) is not None:
+        arr_index = (seed_fn is not None
+                     and getattr(kmer_index, "trav", None) is not None)
+        # record mode: fused scan+select+record with RESIDENT seed
+        # tables -- the host ships only placed state indices, never the
+        # path payloads (record_jax.SeedTables docstring)
+        record_mode = (self.device_record and first_raws is not None
+                       and arr_index)
+        s_lo = s_hi = sidx = None
+        seeds = None
+        if arr_index:
             # vectorised seeding from the array-backed kmer index
             if rows_mat is not None:
                 L = rows_mat.shape[1]
@@ -1011,8 +1073,12 @@ class LogBatchedEngine:
                     last_kmers[row] = read[read.size - k:]
                     body = read[: read.size - k][::-1]
                     reads_T[: body.size, cols[row]] = body
-            owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni = seed_fn(last_kmers)
-            seeds = (s_trav, s_nt, s_ing, s_ni)
+            if record_mode:
+                owner, sidx = kmer_index.seed_batch_indices(last_kmers)
+            else:
+                (owner, s_lo, s_hi, s_trav, s_nt, s_ing, s_ni,
+                 sidx) = seed_fn(last_kmers)
+                seeds = (s_trav, s_nt, s_ing, s_ni)
         else:
             if S > 1:
                 raise TypeError(
@@ -1056,14 +1122,6 @@ class LogBatchedEngine:
             seeds = (s_trav, s_nt, s_ing, s_ni)
 
         t0 = self._tick("submit_seed", t0)
-        # canonical seed-pad width: 4 states/row covers the measured
-        # ~3.1 kmer-seed fan-out; deriving it from R (not the seed
-        # count) keeps the record-program shape data-independent
-        # (a seed count near a pow2 boundary would otherwise flip the
-        # padded shape between buffers -> relay recompile)
-        self._sticky_np = max(self._sticky_np,
-                              _round_up(4 * S * R, 16384) if S * R >= 4096
-                              else _next_pow2(4 * S * R, floor=64))
         n_states = owner.size
         if steps > 0 and n_states > 0:
             # the marker-hit budget is a GLOBAL per-step quota shared by
@@ -1086,33 +1144,42 @@ class LogBatchedEngine:
             pool0 = phases[0][1]
             slot, keep, spilled = self._place_states(owner, pool0)
             host_rows.update(int(r) for r in spilled)
+            placed = slot[keep]
+            seeded = np.zeros(n, dtype=bool)
+            seeded[owner[keep]] = True
+            host_rows.update(int(r) for r in np.flatnonzero(~seeded))
+            if record_mode:
+                self._ensure_seed_tables(kmer_index)
+                slot_sidx = np.full(S * pool0, -1, np.int32)
+                slot_row = np.full(S * pool0, -1, np.int32)
+                slot_sidx[placed] = sidx[keep].astype(np.int32)
+                slot_row[placed] = (owner[keep] // S).astype(np.int32)
+                reads_p = _pack_reads2(reads_T)
+                t0 = self._tick("submit_pack", t0)
+                device_out = self._dispatch_record(
+                    rows, reads_p, slot_sidx, slot_row, host_rows,
+                    first_raws, phases, R)
+                self._tick("submit_dispatch", t0)
+                return (results, rows, device_out, None, host_rows,
+                        (slot_sidx, slot_row), reads_p)
             carry = (np.full(S * pool0, -1, np.int32),
                      np.zeros(S * pool0, np.int32),
                      np.zeros(S * pool0, np.int32),
                      np.zeros(S * pool0, np.int32),
                      np.zeros(S * R, bool))
             rid_c, lo_c, hi_c, pref_c = carry[0], carry[1], carry[2], carry[3]
-            placed = slot[keep]
             rid_c[placed] = (owner[keep] // S).astype(np.int32)
             lo_c[placed] = s_lo[keep]
             hi_c[placed] = s_hi[keep]
             # seed prefs reference the (replicated) seed list by ORIGINAL
             # index, independent of placement order
             pref_c[placed] = -(np.flatnonzero(keep).astype(np.int32) + 1)
-            seeded = np.zeros(n, dtype=bool)
-            seeded[owner[keep]] = True
-            host_rows.update(int(r) for r in np.flatnonzero(~seeded))
-            if self.device_record and first_raws is not None:
-                device_out = self._dispatch_record(
-                    rows, reads_T, carry, seeds, host_rows, first_raws,
-                    phases, R)
-            else:
-                t0 = self._tick("submit_put", t0)
-                self.dispatch_shapes.add(
-                    ("packed", phases, R, reads_T.shape,
-                     tuple(a.shape for a in carry)))
-                device_out = (_EagerFetch(self._run_packed(
-                    reads_T, carry, phases, R)), phases, R)
+            t0 = self._tick("submit_put", t0)
+            self.dispatch_shapes.add(
+                ("packed", phases, R, reads_T.shape,
+                 tuple(a.shape for a in carry)))
+            device_out = (_EagerFetch(self._run_packed(
+                reads_T, carry, phases, R)), phases, R)
         else:
             # no extension steps / no seeds: everything via the exact
             # host path
@@ -1131,21 +1198,15 @@ class LogBatchedEngine:
                      else (self.S, self.rt.cov_size + 1))
             self.cov_diff = jax.device_put(np.zeros(shape, np.int32))
 
-    def _pad_seeds(self, seeds):
-        """Pad seed arrays' state dim to the sticky pow2 ratchet (one
-        canonical shape across buffers -> no per-buffer recompiles)."""
-        s_trav, s_nt, s_ing, s_ni = seeds
-        n = s_nt.shape[0]
-        self._sticky_np = max(self._sticky_np, _next_pow2(max(n, 1), floor=64))
-        Np = self._sticky_np
-        if Np == n:
-            return seeds
-        pad = Np - n
-        z3 = lambda a: np.concatenate(
-            [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
-        return (z3(s_trav), z3(s_nt), z3(s_ing), z3(s_ni))
+    def _ensure_seed_tables(self, kmer_index):
+        """Upload the kmer index's seed-state payloads ONCE
+        (record_jax.SeedTables); per buffer only placed indices ship."""
+        if self.st is None or self._st_for is not kmer_index:
+            from .record_jax import SeedTables
+            self.st = SeedTables.build(kmer_index)
+            self._st_for = kmer_index
 
-    def _dispatch_record(self, rows, reads_T, carry, seeds, host_rows,
+    def _dispatch_record(self, rows, reads_p, slot_sidx, slot_row, host_rows,
                          first_raws, phases, R, row_map=None):
         """Dispatch the fused scan+record program for one (sub)buffer.
 
@@ -1153,7 +1214,6 @@ class LogBatchedEngine:
         Per-row arrays are laid out in shard-major column space
         (self._cols_of). Returns the "record"-tagged token entry."""
         self._ensure_record_tables()
-        seeds_p = self._pad_seeds(seeds)
         S = self.S
         nrows = len(rows) if row_map is None else row_map.size
         row_ok = np.ones(S * R, dtype=bool)
@@ -1175,11 +1235,11 @@ class LogBatchedEngine:
                                count=len(src))
             row_first[cols] = first_arr[owners]
             row_len[cols] = lens
-        trip_cap = 8 * R
+        trip_cap = 4 * R
         self.dispatch_shapes.add(
-            ("record", phases, R, trip_cap, reads_T.shape, seeds_p[0].shape))
+            ("record", phases, R, trip_cap, reads_p.shape))
         packed, self.cov_diff = self._run_record(
-            reads_T, carry, seeds_p, row_ok, row_first, row_len,
+            reads_p, slot_sidx, slot_row, row_ok, row_first, row_len,
             phases, R, trip_cap)
         return ("record", _EagerFetch(packed), R, trip_cap, phases)
 
@@ -1282,6 +1342,45 @@ class LogBatchedEngine:
         cols_dst = self._cols_of(np.arange(ovf_rows.size), R)
         reads_T2[:, cols_dst] = reads_T[:, cols_src]
         return carry2, reads_T2, phases, R, ovf_rows
+
+    def _relayout_retry_record(self, slot_sidx, slot_row, ovf_rows, reads_p,
+                               nrows, phases, R):
+        """Record-path twin of _relayout_retry: rebuilds the slot->
+        (seed state, row) maps and the packed read matrix with only the
+        overflowed rows live, for a re-dispatch of the SAME (phases, R)
+        program. Returns (slot_sidx2, slot_row2, reads_p2, retried_rows)
+        or None."""
+        S = self.S
+        pool0 = phases[0][1]
+        ovf_rows = ovf_rows[:S * R]
+        shard_of = np.arange(slot_sidx.size) // pool0
+        g_row = np.where(slot_sidx >= 0, slot_row * S + shard_of, -1)
+        for _ in range(2):
+            row_map = np.full(nrows, -1, dtype=np.int32)
+            row_map[ovf_rows] = np.arange(ovf_rows.size, dtype=np.int32)
+            sel = np.flatnonzero((slot_sidx >= 0)
+                                 & np.isin(g_row, ovf_rows))
+            retry_rows = row_map[g_row[sel]]
+            slot, keep, spilled = self._place_states(retry_rows, pool0)
+            if not spilled.size:
+                break
+            drop_mask = np.zeros(ovf_rows.size, dtype=bool)
+            drop_mask[spilled] = True
+            ovf_rows = ovf_rows[~drop_mask]
+            if ovf_rows.size == 0:
+                return None
+        else:
+            return None
+        slot_sidx2 = np.full(S * pool0, -1, np.int32)
+        slot_row2 = np.full(S * pool0, -1, np.int32)
+        placed = slot[keep]
+        slot_sidx2[placed] = slot_sidx[sel[keep]]
+        slot_row2[placed] = (retry_rows[keep] // S).astype(np.int32)
+        reads_p2 = np.zeros_like(reads_p)
+        cols_src = self._cols_of(ovf_rows, reads_p.shape[1] // S)
+        cols_dst = self._cols_of(np.arange(ovf_rows.size), R)
+        reads_p2[:, cols_dst] = reads_p[:, cols_src]
+        return slot_sidx2, slot_row2, reads_p2, ovf_rows
 
     def _retry_overflow(self, carry_np, log_parent, log_event, init_carry,
                         reads_T, nrows, phases, R, host_rows=()):
@@ -1427,7 +1526,8 @@ class LogBatchedEngine:
         from .coverage_fast import fold_loci_rows
         from .search import search_read_backwards
 
-        (results, rows, device_out, seeds, host_rows, carry, reads_T) = token
+        (results, rows, device_out, _seeds, host_rows, slots, reads_p) = token
+        slot_sidx, slot_row = slots
         _, packed, R, trip_cap, phases = device_out
         k = kmer_size if kmer_size is not None else self.kmer_size
         if kmer_index is None:
@@ -1459,17 +1559,17 @@ class LogBatchedEngine:
         ovf_rows = np.flatnonzero(ovf_flags)
         if ovf_rows.size > max(0.02 * nrows, 8):
             self.hits_boost = min(self.hits_boost * 2, self.max_hits_boost)
-        if (ovf_rows.size >= self.retry_min and reads_T.shape[0] > 0):
-            relayout = self._relayout_retry(carry, ovf_rows, reads_T, nrows,
-                                            phases, R)
+        if (ovf_rows.size >= self.retry_min and reads_p.shape[0] > 0):
+            relayout = self._relayout_retry_record(
+                slot_sidx, slot_row, ovf_rows, reads_p, nrows, phases, R)
             if relayout is not None:
-                carry2, reads_T2, p2, R2, ovf_rows = relayout
+                slot_sidx2, slot_row2, reads_p2, ovf_rows = relayout
                 dev2 = self._dispatch_record(
-                    rows, reads_T2, carry2, seeds, set(), first_raws, p2, R2,
-                    row_map=ovf_rows)
+                    rows, reads_p2, slot_sidx2, slot_row2, set(),
+                    first_raws, phases, R, row_map=ovf_rows)
                 _, packed2, _, tc2, _ = dev2
                 ovf2, fb2, mapped2, loci2 = _unpack_record_result(
-                    _fetch(packed2), R2, tc2, n_shards=self.S)
+                    _fetch(packed2), R, tc2, n_shards=self.S)
                 if loci2.shape[0]:
                     loci2[:, 0] = ovf_rows[loci2[:, 0]]
                     fold_loci_rows(coverage, loci2)
