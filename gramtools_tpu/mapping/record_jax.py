@@ -101,7 +101,11 @@ FB_NAMES = {FB_CHAIN: "chain_depth", FB_ENC: "encapsulated_spill",
 
 _URNG_RANGE = (1 << 32) - 1
 _PAD = -1            # key padding: sorts before any site marker (>= 5)
-_BIG = jnp.int32(2 ** 30)
+# host-side scalar, NOT jnp: an eager jax.Array module constant embeds a
+# device Array in every traced program, and lowering then calls ._value
+# on it -- through the lazy axon relay that is a full remote
+# compile+execute+fetch round trip (~160s measured) per cold process.
+_BIG = np.int32(2 ** 30)
 
 
 @dataclass

@@ -27,10 +27,10 @@ BUFREADS = int(os.environ.get("PROF_BUFREADS", "5000"))
 
 def main():
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # share bench.py's persistent cache (~/.cache/gramtools_tpu_xla) so
+    # profile runs pre-seed the driver's bench warmup
+    from gramtools_tpu.common.jax_setup import enable_compile_cache
+    enable_compile_cache()
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
     from bench import (build_synthetic_mtb_graph, sample_haplotypes,
