@@ -16,7 +16,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libgramtpu.so"
-_SOURCES = ["sais.cpp", "fastx.cpp", "quasimap.cpp"]
+_SOURCES = ["sais.cpp", "fastx.cpp", "quasimap.cpp", "screen.cpp"]
 
 _lib = None
 _lib_tried = False
@@ -86,6 +86,13 @@ def get_native_lib():
             ctypes.POINTER(ctypes.c_int64), i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
             i32p, ctypes.c_int32,
+        ]
+    if hasattr(_lib, "gram_tpu_kmer_screen"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        _lib.gram_tpu_kmer_screen.restype = ctypes.c_int64
+        _lib.gram_tpu_kmer_screen.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u8p, u8p, u8p, ctypes.c_int32,
         ]
     if hasattr(_lib, "gram_tpu_cpu_quasimap_e2e"):
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -350,3 +357,27 @@ def native_suffix_array(text: np.ndarray) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out
+
+
+def native_kmer_screen(fwd: np.ndarray, k: int, present: np.ndarray,
+                       num_threads: int = 0):
+    """Fused revcomp + kmer-presence screen (native/screen.cpp).
+
+    fwd: (n, L) uint8 base codes 1..4 (no zeros). present: (4^k,) bool.
+    Returns (oriented (2n, L) uint8 with rows [fwd_i, revcomp_i, ...],
+    passed (2n,) bool) or None when the native library is unavailable."""
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "gram_tpu_kmer_screen"):
+        return None
+    fwd = np.ascontiguousarray(fwd, dtype=np.uint8)
+    n, L = fwd.shape
+    oriented = np.empty((2 * n, L), dtype=np.uint8)
+    passed = np.empty(2 * n, dtype=np.uint8)
+    pres = np.ascontiguousarray(present, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gram_tpu_kmer_screen(
+        fwd.ctypes.data_as(u8p), ctypes.c_int64(n), ctypes.c_int32(L),
+        ctypes.c_int32(k), pres.ctypes.data_as(u8p),
+        oriented.ctypes.data_as(u8p), passed.ctypes.data_as(u8p),
+        ctypes.c_int32(num_threads))
+    return oriented, passed.astype(bool)

@@ -609,11 +609,24 @@ def _filter_buffer_rows(buffer, kmer_index, k, stats):
         # revcomp + filter, row views into the matrix afterwards
         fwd = (buffer.mat[nz] if isinstance(buffer, ReadBatch)
                else np.stack([buffer[i] for i in nz]))
-        mat = np.empty((2 * nz.size, fwd.shape[1]), dtype=np.uint8)
-        mat[0::2] = fwd
-        mat[1::2] = _COMPLEMENT_LUT[fwd[:, ::-1]]
+        native = None
+        bitmap_fn = getattr(kmer_index, "_presence_bitmap", None)
+        present = bitmap_fn() if bitmap_fn is not None else None
+        if present is not None:
+            from ..index.native import native_kmer_screen
+            native = native_kmer_screen(fwd, k, present)
+        if native is not None:
+            # fused revcomp + rolling-code screen with early exit
+            # (native/screen.cpp): ~8x the NumPy Horner slide on
+            # throughput buffers, and the host submit path adds 1:1 to
+            # e2e wall time through the lazy relay
+            mat, passed = native
+        else:
+            mat = np.empty((2 * nz.size, fwd.shape[1]), dtype=np.uint8)
+            mat[0::2] = fwd
+            mat[1::2] = _COMPLEMENT_LUT[fwd[:, ::-1]]
+            passed = matrix_filter(mat)
         owners = np.repeat(nz, 2)
-        passed = matrix_filter(mat)
         stats.missing_kmer_reads_count += int(np.count_nonzero(~passed))
         hit = np.flatnonzero(passed)
         rows = [(int(owners[j]), mat[j]) for j in hit]

@@ -76,9 +76,15 @@ def main():
     tw = time.perf_counter()
     for b in range(2):
         seeds0, fr0 = draw()
+        t_s = time.perf_counter()
         tok = engine.scan_submit(buffers[b], kmer_index, KMER, stats,
                                  first_raws=fr0)
+        t_c = time.perf_counter()
         engine.record_complete(tok, seeds0, fr0, stats, coverage)
+        print(f"# warm buf{b}: submit={t_c-t_s:.1f}s "
+              f"complete={time.perf_counter()-t_c:.1f}s "
+              f"timers={ {k: round(v, 2) for k, v in sorted(engine.timers.items())} }",
+              file=sys.stderr)
     print(f"# warmup {time.perf_counter()-tw:.1f}s "
           f"shapes={len(engine.dispatch_shapes)}", file=sys.stderr)
     engine.timers.clear()
