@@ -65,8 +65,55 @@ RESULT = {
     "unit": f"reads/s (150bp, {GENOME_MB}Mb {PROFILE} graph, "
             f"full device mapping path)",
     "vs_baseline": None,
+    "phase_elapsed_s": {},
+    "compile_cache_writes": 0,
 }
 _EMITTED = False
+
+
+def _phase_done(name):
+    """Record per-phase elapsed + a progress line (relay weather and
+    compile walls made two rounds of bench output undiagnosable --
+    docs/RELAY.md)."""
+    RESULT["phase_elapsed_s"][name] = round(_elapsed(), 1)
+    print(f"# phase {name} done at t={_elapsed():.1f}s", file=sys.stderr,
+          flush=True)
+
+
+def _hook_cache_telemetry():
+    """Count persistent-compile-cache writes (a write = a cache miss
+    that paid a full XLA compile)."""
+    import logging
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "persistent compilation cache" in msg and "Writing" in msg:
+                RESULT["compile_cache_writes"] += 1
+
+    lg = logging.getLogger("jax._src.compilation_cache")
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(_H())
+
+
+def _bg_device_touch():
+    """Force the relay claim/wakeup on a daemon thread at t=0: the
+    first touch of a cold relay can take minutes (docs/RELAY.md), so it
+    proceeds concurrently with the host-side workload load."""
+    import threading
+
+    def run():
+        try:
+            import jax.numpy as jnp
+            t = time.time()
+            float(jnp.add(jnp.float32(1), jnp.float32(2)))
+            RESULT["device_first_touch_s"] = round(time.time() - t, 1)
+            print(f"# device first touch: {time.time()-t:.1f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:       # surfaces in the JSON, not a crash
+            RESULT["device_first_touch_error"] = str(e)
+
+    threading.Thread(target=run, daemon=True).start()
 
 
 def _emit():
@@ -279,7 +326,7 @@ def scan_gather_bytes_per_batch(phases, n_outcomes, rank):
     B = n_outcomes
     occ_row = 96 + 4 if rank == "packed" else 16   # packed: 96B rec + off
     total = 0
-    for n_steps, pool, hits in phases:
+    for n_steps, pool, hits, *_ in phases:
         per_step = (
             2 * pool * occ_row          # LF occ rows (lo, hi+1)
             + pool * 4                  # base gather by read id
@@ -303,35 +350,54 @@ def hbm_peak_bytes():
 
 
 # --------------------------------------------------------------------------
-# driver
+# workload cache
 # --------------------------------------------------------------------------
 
-def main():
-    signal.signal(signal.SIGALRM, _deadline)
-    signal.signal(signal.SIGTERM, _deadline)
-    signal.alarm(max(BUDGET_S, 30))
-    t0 = time.time()
-    rng = np.random.RandomState(42)
-    genome_len = int(GENOME_MB * 1e6)
+def _workload_cache_key():
+    """Key covers the params AND the generator code: a changed builder
+    regenerates instead of serving a stale workload."""
+    import hashlib
+    import inspect
 
-    import jax
-    # this environment's sitecustomize registers the axon TPU backend and
-    # overrides JAX_PLATFORMS; re-assert an explicit platform request so
-    # CPU smoke runs (CI) stay off the single-claim TPU chip
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from gramtools_tpu.common.jax_setup import enable_compile_cache
-    enable_compile_cache()
+    src = "".join(inspect.getsource(f) for f in (
+        build_synthetic_mtb_graph, build_mixed_graph, sample_haplotypes))
+    blob = f"{GENOME_MB}|{NUM_SITES}|{READ_LEN}|{KMER_SIZE}|{PROFILE}|{src}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _load_or_build_workload():
+    """Synthetic graph + index + kmer index + haplotype paths, cached on
+    disk (~55 s rebuild -> seconds of pickle load): the driver's wall
+    budget belongs to the device phases (docs/RELAY.md)."""
+    import pickle
 
     from gramtools_tpu.index.fm import FMIndex
     from gramtools_tpu.prg.graph import build_cov_graph
     from gramtools_tpu.prg.linearise import PrgString
     from gramtools_tpu.mapping.search import PrgIndex
-    from gramtools_tpu.mapping.device_index import DeviceIndex
+    from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
 
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                             "gramtools_tpu_bench")
+    path = os.path.join(cache_dir, f"wl_{_workload_cache_key()}.pkl")
+    if os.path.exists(path) and not os.environ.get("BENCH_NO_WL_CACHE"):
+        try:
+            t = time.time()
+            with open(path, "rb") as fh:
+                wl = pickle.load(fh)
+            print(f"# workload cache hit ({path}): {time.time()-t:.1f}s",
+                  file=sys.stderr)
+            RESULT["workload_cache"] = "hit"
+            return wl
+        except Exception as e:
+            print(f"# workload cache unreadable ({e}); rebuilding",
+                  file=sys.stderr)
+    RESULT["workload_cache"] = "miss"
+    rng = np.random.RandomState(42)
+    genome_len = int(GENOME_MB * 1e6)
+    t0 = time.time()
     print(f"# building synthetic graph: {GENOME_MB}Mb, {NUM_SITES} sites, "
-          f"profile={PROFILE}, rank={RANK}", file=sys.stderr)
+          f"profile={PROFILE}", file=sys.stderr)
     if PROFILE == "mixed":
         prg_ints = build_mixed_graph(rng, genome_len, NUM_SITES)
     else:
@@ -343,15 +409,54 @@ def main():
     idx = PrgIndex(prg_ints, graph, fm, end_positions)
     print(f"# index built in {time.time()-t0:.1f}s; fm size {fm.size}",
           file=sys.stderr)
-
-    from gramtools_tpu.index.kmer_index_vec import build_kmer_index_vectorised
     t_k = time.time()
     kmer_index = build_kmer_index_vectorised(idx, KMER_SIZE)
     print(f"# kmer index k={KMER_SIZE}: {kmer_index.num_kmers()} kmers, "
           f"{kmer_index.lo.size} states, {time.time()-t_k:.1f}s",
           file=sys.stderr)
-
     paths = sample_haplotypes(prg_ints, end_positions, rng, n_paths=8)
+    wl = (prg_ints, idx, kmer_index, end_positions, paths,
+          rng.get_state())
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(wl, fh, protocol=5)
+        os.replace(tmp, path)
+        print(f"# workload cached -> {path}", file=sys.stderr)
+    except Exception as e:
+        print(f"# workload cache write failed: {e}", file=sys.stderr)
+    return wl
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+def main():
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.signal(signal.SIGTERM, _deadline)
+    signal.alarm(max(BUDGET_S, 30))
+    import jax
+    # this environment's sitecustomize registers the axon TPU backend and
+    # overrides JAX_PLATFORMS; re-assert an explicit platform request so
+    # CPU smoke runs (CI) stay off the single-claim TPU chip
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gramtools_tpu.common.jax_setup import enable_compile_cache
+    enable_compile_cache()
+    _hook_cache_telemetry()
+    if (os.environ.get("JAX_PLATFORMS") or "tpu") != "cpu":
+        _bg_device_touch()
+
+    from gramtools_tpu.mapping.device_index import DeviceIndex
+
+    prg_ints, idx, kmer_index, end_positions, paths, rng_state = \
+        _load_or_build_workload()
+    rng = np.random.RandomState(42)
+    rng.set_state(rng_state)
+    _phase_done("workload")
 
     out = RESULT     # phases below fill the result line incrementally
 
@@ -422,81 +527,11 @@ def main():
         print(f"# C++/OpenMP scan-only ({CPP_THREADS or os.cpu_count()} "
               f"threads): {scan_bl_rps:.0f} reads/s", file=sys.stderr)
 
-    # ---- end-to-end device mapping path -------------------------------
-    if not SKIP_E2E:
-        # throughput-mode buffer (quasimap.DEVICE_BUFFER_SIZE): the
-        # production default for device engines
-        os.environ.setdefault(
-            "GRAMTOOLS_TPU_BUFFER", os.environ.get("BENCH_BUFFER", "20000"))
-        os.environ.setdefault("GRAMTOOLS_TPU_DEVICE_RECORD", "1")
-        os.environ["GRAMTOOLS_TPU_TIMERS"] = "1"
-        if RANK != "dense":
-            os.environ["GRAMTOOLS_TPU_RANK"] = RANK
-        from gramtools_tpu.mapping.quasimap import quasimap_reads
-        from gramtools_tpu.mapping.search_jax_log import LogBatchedEngine
-
-        engine = LogBatchedEngine(idx, KMER_SIZE)
-        from gramtools_tpu.mapping.quasimap import READS_BUFFER_SIZE
-        warm_reads = WARM_READS or READS_BUFFER_SIZE
-        with tempfile.TemporaryDirectory() as td:
-            warm_fq = os.path.join(td, "warm.fastq")
-            # timed run split into halves with the result line updated
-            # in between: a deadline mid-measurement still reports the
-            # completed half instead of dying with value=null
-            half = max(E2E_READS // 2, 1)
-            half_fqs = [os.path.join(td, "reads_a.fastq"),
-                        os.path.join(td, "reads_b.fastq")]
-            write_fastq(warm_fq, sample_reads(rng, paths, warm_reads,
-                                              READ_LEN))
-            for fq, n in zip(half_fqs, (half, E2E_READS - half)):
-                write_fastq(fq, sample_reads(rng, paths, n, READ_LEN))
-            t_w = time.time()
-            quasimap_reads([warm_fq], kmer_index, idx, KMER_SIZE, seed=42,
-                           engine=engine)
-            warm_s = time.time() - t_w
-            print(f"# e2e warmup ({warm_reads} reads, incl. compile): "
-                  f"{warm_s:.1f}s; shapes={len(engine.dispatch_shapes)}",
-                  file=sys.stderr)
-            out["e2e_compile_warmup_seconds"] = round(warm_s, 1)
-            engine.timers.clear()
-            warm_shapes = len(engine.dispatch_shapes)
-            done_reads = 0
-            e2e_s = 0.0
-            for fq, n in zip(half_fqs, (half, E2E_READS - half)):
-                t_e = time.time()
-                stats, coverage = quasimap_reads([fq], kmer_index, idx,
-                                                 KMER_SIZE, seed=42,
-                                                 engine=engine)
-                e2e_s += time.time() - t_e
-                done_reads += n
-                out["value"] = round(done_reads / e2e_s, 1)
-                out["e2e_seconds"] = round(e2e_s, 3)
-                out["e2e_reads_measured"] = done_reads
-                if cpp_rps:
-                    out["vs_baseline"] = round(out["value"] / cpp_rps, 2)
-                    out["vs_baseline_e2e"] = out["vs_baseline"]
-            new_shapes = len(engine.dispatch_shapes) - warm_shapes
-        e2e_rps = out["value"]
-        out["device_mapped"] = engine.device_mapped
-        out["host_fallbacks"] = engine.host_fallbacks
-        out["device_retried"] = engine.device_retried
-        out["stage_seconds"] = {k: round(v, 3)
-                                for k, v in sorted(engine.timers.items())}
-        out["steady_state_new_shapes"] = new_shapes  # 0 = no recompiles
-        out["fallback_reasons"] = dict(engine.fallback_reasons)
-        print(f"# e2e: {e2e_rps:.0f} reads/s "
-              f"({engine.device_mapped} dev, {engine.host_fallbacks} host, "
-              f"{engine.device_retried} retried, {new_shapes} new shapes); "
-              f"stages: {out['stage_seconds']}", file=sys.stderr)
-
-    if _remaining() < 60:
-        print(f"# skipping scan phase ({_remaining():.0f}s left)",
-              file=sys.stderr)
-        signal.alarm(0)
-        _emit()
-        return
-
     # ---- scan-only rate + occupancy + roofline ------------------------
+    # This device phase runs FIRST: it is one small jit program (~10 s
+    # compile in good relay weather vs minutes for the fused record
+    # program), so a device number lands in the result line early; the
+    # e2e phase then upgrades value to the full-pipeline rate.
     import jax.numpy as jnp
     from functools import partial
     from gramtools_tpu.mapping.search_jax_log import (
@@ -575,7 +610,7 @@ def main():
                             blocks=blocks, rank=RANK)
     live = np.asarray(res[2])
     occupancy = [round(float(l) / p, 4)
-                 for l, p in zip(live, [p for _, p, _ in phases])]
+                 for l, p in zip(live, [e[1] for e in phases])]
     n_overflow = int(np.asarray(res[0][4]).sum())
 
     bytes_per_batch = scan_gather_bytes_per_batch(phases, di.n_outcomes,
@@ -595,16 +630,123 @@ def main():
           f"{'%.0f' % (peak/1e9) if peak else '?'} GB/s peak, "
           f"occupancy={occupancy}, overflow={n_overflow}", file=sys.stderr)
 
+    # vs_baseline_scan: like-for-like kernel comparison against the C++
+    # scan-only rate; value provisionally = scan rate (the e2e phase
+    # overwrites it with the full-pipeline rate)
+    scan_bl = out.get("cpp_omp_scan_only_reads_per_sec")
+    if scan_bl:
+        out["vs_baseline_scan"] = round(scan_rps / scan_bl, 2)
+    if out["value"] is None:
+        out["value"] = round(scan_rps, 1)
+        out["value_source"] = "scan_only"
+        if scan_bl:
+            out["vs_baseline"] = out["vs_baseline_scan"]
+    _phase_done("scan")
+
+    # ---- end-to-end device mapping path -------------------------------
+    if not SKIP_E2E:
+        # throughput-mode buffer (quasimap.DEVICE_BUFFER_SIZE): the
+        # production default for device engines
+        os.environ.setdefault(
+            "GRAMTOOLS_TPU_BUFFER", os.environ.get("BENCH_BUFFER", "20000"))
+        os.environ.setdefault("GRAMTOOLS_TPU_DEVICE_RECORD", "1")
+        os.environ["GRAMTOOLS_TPU_TIMERS"] = "1"
+        if RANK != "dense":
+            os.environ["GRAMTOOLS_TPU_RANK"] = RANK
+        from gramtools_tpu.common.rng import (RandomInclusiveInt,
+                                              first_raw_draws)
+        from gramtools_tpu.mapping.coverage import Coverage
+        from gramtools_tpu.mapping.quasimap import (READS_BUFFER_SIZE,
+                                                    QuasimapStats,
+                                                    iter_read_buffers)
+        from gramtools_tpu.mapping.search_jax_log import LogBatchedEngine
+
+        engine = LogBatchedEngine(idx, KMER_SIZE)
+        size = READS_BUFFER_SIZE
+        stats = QuasimapStats()
+        coverage = Coverage.empty(idx)
+        master = RandomInclusiveInt(42)
+
+        def _draw():
+            seeds = master.raw_block(size)
+            return seeds, first_raw_draws(np.asarray(seeds, dtype=np.uint32))
+
+        def _upd(done, secs):
+            out["value"] = round(done / secs, 1)
+            out["value_source"] = "e2e"
+            out["e2e_seconds"] = round(secs, 3)
+            out["e2e_reads_measured"] = done
+            if cpp_rps:
+                out["vs_baseline"] = round(out["value"] / cpp_rps, 2)
+                out["vs_baseline_e2e"] = out["vs_baseline"]
+
+        with tempfile.TemporaryDirectory() as td:
+            fq = os.path.join(td, "reads.fastq")
+            write_fastq(fq, sample_reads(rng, paths, size + E2E_READS,
+                                         READ_LEN))
+            buffers = iter_read_buffers(fq, size)
+            # warmup: ONE production buffer through the full pipeline --
+            # it dispatches the canonical sticky shapes, so the timed run
+            # recompiles nothing (steady_state_new_shapes proves it)
+            t_w = time.time()
+            warm_buf = next(buffers)
+            seeds_w, fr_w = _draw()
+            tok = engine.scan_submit(warm_buf, kmer_index, KMER_SIZE, stats,
+                                     first_raws=fr_w)
+            engine.record_complete(tok, seeds_w, fr_w, stats, coverage)
+            warm_s = time.time() - t_w
+            out["e2e_compile_warmup_seconds"] = round(warm_s, 1)
+            print(f"# e2e warmup ({len(warm_buf)} reads, incl. compile): "
+                  f"{warm_s:.1f}s; shapes={len(engine.dispatch_shapes)}",
+                  file=sys.stderr)
+            _phase_done("e2e_warmup")
+            engine.timers.clear()
+            warm_shapes = len(engine.dispatch_shapes)
+            # timed PIPELINED loop (submit N+1 before completing N, the
+            # production quasimap_reads structure); the result line
+            # updates after EVERY completed buffer, so a deadline
+            # mid-run reports the finished prefix instead of null
+            done = 0
+            in_flight = None
+            t_e = time.time()
+            for buffer in buffers:
+                seeds, frs = _draw()
+                token = engine.scan_submit(buffer, kmer_index, KMER_SIZE,
+                                           stats, first_raws=frs)
+                if in_flight is not None:
+                    n_buf, tok_f, seeds_f, frs_f = in_flight
+                    engine.record_complete(tok_f, seeds_f, frs_f, stats,
+                                           coverage)
+                    done += n_buf
+                    _upd(done, time.time() - t_e)
+                in_flight = (len(buffer), token, seeds, frs)
+            if in_flight is not None:
+                n_buf, tok_f, seeds_f, frs_f = in_flight
+                engine.record_complete(tok_f, seeds_f, frs_f, stats,
+                                       coverage)
+                done += n_buf
+            engine.flush_device_coverage()   # once per run, as production
+            _upd(done, time.time() - t_e)
+            new_shapes = len(engine.dispatch_shapes) - warm_shapes
+        out["device_mapped"] = engine.device_mapped
+        out["host_fallbacks"] = engine.host_fallbacks
+        out["device_retried"] = engine.device_retried
+        out["stage_seconds"] = {k: round(v, 3)
+                                for k, v in sorted(engine.timers.items())}
+        out["steady_state_new_shapes"] = new_shapes  # 0 = no recompiles
+        out["fallback_reasons"] = dict(engine.fallback_reasons)
+        print(f"# e2e: {out['value']:.0f} reads/s "
+              f"({engine.device_mapped} dev, {engine.host_fallbacks} host, "
+              f"{engine.device_retried} retried, {new_shapes} new shapes); "
+              f"stages: {out['stage_seconds']}", file=sys.stderr)
+        _phase_done("e2e")
+
     # Scope note for the ratios: the device e2e rate covers the FULL
     # production path (read IO, both orientations, kmer screen, scan,
-    # selection, coverage recording); the C++/OpenMP baseline covers the
-    # reference backend's mapping hot loop (scan from precomputed seeds,
-    # one orientation) on cpp_threads host cores -- so vs_baseline_e2e
-    # UNDERSTATES the device advantage and vs_baseline_scan is the
-    # like-for-like kernel comparison.
-    if cpp_rps:
-        out["vs_baseline_scan"] = round(out["scan_reads_per_sec"] / cpp_rps,
-                                        2)
+    # selection, coverage recording) and vs_baseline compares it to the
+    # C++/OpenMP full-pipeline rate on all host cores (equal work);
+    # vs_baseline_scan is the pre-seeded one-orientation kernel
+    # comparison.
     signal.alarm(0)
     _emit()
 

@@ -369,6 +369,10 @@ def native_kmer_screen(fwd: np.ndarray, k: int, present: np.ndarray,
     lib = get_native_lib()
     if lib is None or not hasattr(lib, "gram_tpu_kmer_screen"):
         return None
+    if present.size != 4 ** k:
+        # bitmap does not match k: indexing present[] with 2k-bit codes
+        # would read past the bitmap -- fall back to the NumPy screen
+        return None
     fwd = np.ascontiguousarray(fwd, dtype=np.uint8)
     n, L = fwd.shape
     oriented = np.empty((2 * n, L), dtype=np.uint8)

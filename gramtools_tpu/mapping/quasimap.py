@@ -321,9 +321,35 @@ def _merge_pb(target: np.ndarray, delta: np.ndarray):
     target[:] = merged.astype(np.uint16)
 
 
-# --- forked worker machinery -------------------------------------------------
+# --- worker-pool machinery ---------------------------------------------------
 
 _POOL_CTX: Dict[str, object] = {}
+
+
+def _jax_backend_live() -> bool:
+    """True when this process has initialised a JAX backend. fork() in
+    that state is a latent deadlock (JAX runs a multithreaded runtime);
+    merely having imported jax is fine."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return False
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:
+        return True   # cannot tell: assume live, take the safe path
+
+
+def _init_spawn_worker(idx, kmer_index, kmer_size):
+    _POOL_CTX["idx"] = idx
+    _POOL_CTX["kmer_index"] = kmer_index
+    _POOL_CTX["kmer_size"] = kmer_size
+
+
+def _pool_start_method() -> str:
+    return "fork" if not _jax_backend_live() else "spawn"
 
 
 def _make_pool(max_threads, idx, kmer_index, kmer_size):
@@ -331,12 +357,18 @@ def _make_pool(max_threads, idx, kmer_index, kmer_size):
         return None
     import multiprocessing as mp
 
-    ctx = mp.get_context("fork")
-    # children inherit the index structures by fork; no pickling
-    _POOL_CTX["idx"] = idx
-    _POOL_CTX["kmer_index"] = kmer_index
-    _POOL_CTX["kmer_size"] = kmer_size
-    return ctx.Pool(processes=max_threads)
+    method = _pool_start_method()
+    ctx = mp.get_context(method)
+    if method == "fork":
+        # children inherit the index structures by fork; no pickling
+        _POOL_CTX["idx"] = idx
+        _POOL_CTX["kmer_index"] = kmer_index
+        _POOL_CTX["kmer_size"] = kmer_size
+        return ctx.Pool(processes=max_threads)
+    # JAX backend live: spawn fresh workers and ship the (numpy-backed)
+    # index once per worker instead of forking a multithreaded runtime
+    return ctx.Pool(processes=max_threads, initializer=_init_spawn_worker,
+                    initargs=(idx, kmer_index, kmer_size))
 
 
 def _record_chunk(items):

@@ -215,6 +215,262 @@ def _build_log_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
     return step
 
 
+def _phase4(entry):
+    """Phase entries are (n_steps, pool, hits[, narrow_w[, kind]]):
+    3-tuples are classic wide-step phases (narrow_w = 0); a 4th element
+    > 0 selects the narrow-interval step with that wide-state budget; a
+    5th element "locked" selects the slot-locked narrow step (pool slot
+    i <-> read i; pool must equal the per-shard row count)."""
+    if len(entry) == 5:
+        return entry
+    if len(entry) == 4:
+        return entry + ("",)
+    n_steps, pool, hits = entry
+    return n_steps, pool, hits, 0, ""
+
+
+def _build_narrow_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
+                       wide_budget: int, occ_rows=None, locked: bool = False):
+    """Narrow-interval scan step: the tail-phase fast path.
+
+    After ~6 extension steps nearly every live state's SA interval is a
+    singleton (hi == lo) -- the suffix is unique in the text -- so the
+    classic step's two 4-int occ-row gathers per state are ~13 gathered
+    ints spent answering a question one precomputed int32 answers
+    (device_index._build_narrow_tab): the symbol at lo plus either the
+    LF destination (DNA) or the jump locus (marker). The step gathers
+    narrow_tab once per state; the <= wide_budget non-singleton states
+    (fresh marker-jump newborns, repeats) take a compacted classic
+    sub-path through the same occ_rows gather; wide states past the
+    budget flag their read (same-shape retry pass, then exact host
+    re-map -- correctness never depends on the budget).
+
+    locked=False (plain narrow): the pool is hole-allocated instead of
+    dense-repacked -- survivors stay in their slot and newborns scatter
+    into dead slots, so the big (N+G*B, 4) repack scatter of the wide
+    step becomes a (G*B, 4) one.
+
+    locked=True (slot-locked): pool slot i IS read i (N == num_reads ==
+    per-shard rows; see _lock_pool). In the tail ~every live read holds
+    exactly one state, so locking the layout deletes the remaining
+    N-sized random accesses: the per-state base is base_row itself (no
+    rid gather), overflow flags are vector ORs (no N-wide scatter), and
+    a newborn lands in its read's own slot (a (G*B, 4) scatter). A read
+    briefly holding two surviving states (parent survives AND a newborn
+    arrives, or two newborns survive -- a genuinely multi-mapping read)
+    is flagged overflow: the same-shape retry re-flags it and the exact
+    host path re-maps it, trading the rare ambiguous read for a ~2x
+    cheaper step on the ~unique majority.
+
+    Holes/locking mean the pool is NOT front-packed, so these phases
+    must be final (auto_phases emits narrow -> locked tail segments;
+    _resize_pool shrinking after one would drop live states)."""
+    B = di.n_outcomes
+    N = cfg.pool
+    G = cfg.hits
+    W = wide_budget
+    n = di.size
+    if occ_rows is None:
+        occ_rows = lambda rows: di.occ[jnp.clip(rows, 0, n)]
+    L = di.out_lo.shape[0]
+    out_cat = jnp.concatenate([di.out_lo, di.out_hi])   # (2L,B)
+    HB = G * B
+    if locked:
+        assert N == num_reads, (N, num_reads)
+
+    def step(carry, xs):
+        base_row, log_base = xs
+        (read_id, lo, hi, pref, overflow) = carry
+        valid = read_id >= 0
+        if locked:
+            rid = jnp.arange(N, dtype=read_id.dtype)   # slot i <-> read i
+            base = jnp.where(valid, base_row, 0)       # no gather
+        else:
+            rid = jnp.clip(read_id, 0, num_reads - 1)
+            base = jnp.where(valid, base_row[rid], 0)
+        active = valid & (base > 0)
+        single = lo == hi
+
+        # ---- 1. narrow path: ONE packed int32 gather per state ----------
+        t = di.narrow_tab[jnp.clip(lo, 0, n - 1)]
+        sym = t >> 24                 # 0 sentinel, 1-4 DNA, 5 marker
+        val = t & 0xFFFFFF            # LF destination / jump locus
+
+        # ---- 2. wide sub-path: classic occ rows for <= W wide states ----
+        wideflag = active & ~single
+        w_ord = mm_cumsum(wideflag.astype(jnp.int32))
+        w_rank = w_ord - wideflag.astype(jnp.int32)
+        w_slot = jnp.full((W + 1,), N, jnp.int32).at[
+            jnp.where(wideflag & (w_rank < W), w_rank, W)].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")
+        w_idx = jnp.clip(w_slot[:W], 0, N - 1)
+        w_live = w_slot[:W] < N
+        w_lo, w_hi, w_base = lo[w_idx], hi[w_idx], base[w_idx]
+        rows2 = occ_rows(jnp.concatenate([w_lo, w_hi + 1]))   # (2W,4)
+        row_lo, row_hi = rows2[:W], rows2[W:]
+        onehot = (w_base[:, None] == jnp.arange(1, 5))
+        first = di.sym_start[jnp.clip(w_base, 0, 4)]
+        w_nlo = first + jnp.sum(row_lo * onehot, axis=1)
+        w_nhi = first + jnp.sum(row_hi * onehot, axis=1) - 1
+        sent = di.sentinel_row
+        w_mlo = w_lo - jnp.sum(row_lo, axis=1) - (w_lo > sent)
+        w_mhi = (w_hi + 1) - jnp.sum(row_hi, axis=1) - (w_hi + 1 > sent)
+        wcols = jnp.stack([w_nlo, w_nhi, w_mlo, w_mhi], axis=1)
+        wball = jnp.zeros((N + 1, 4), jnp.int32).at[
+            jnp.where(w_live, w_idx, N)].set(wcols, mode="drop")[:N]
+        covered = single | (wideflag & (w_rank < W))
+        spill_w = wideflag & (w_rank >= W)
+
+        # ---- 3. merged extension + marker counts ------------------------
+        nlo = jnp.where(single, val, wball[:, 0])
+        nhi = jnp.where(single, val, wball[:, 1])
+        ok = jnp.where(single, sym == base, wball[:, 0] <= wball[:, 1])
+        ext_alive = active & covered & ok
+        kept_lo = jnp.where(active & covered, nlo, lo)
+        kept_hi = jnp.where(active & covered, nhi, hi)
+        keep = ext_alive | (valid & ~active)    # padding steps persist
+        cnt = jnp.where(active & covered,
+                        jnp.where(single, (sym == 5).astype(jnp.int32),
+                                  wball[:, 3] - wball[:, 2]), 0)
+
+        # ---- 4. global hit enumeration (as the wide step) ---------------
+        nz = cnt > 0
+        two = mm_cumsum(jnp.stack([cnt, nz.astype(jnp.int32)]))
+        cum, nzc = two[0], two[1]
+        total = cum[-1]
+        g = jnp.arange(G)
+        start_of = cum - cnt
+        rank = nzc - nz.astype(jnp.int32)
+        sc = jnp.zeros((2 * G + 1,), jnp.int32).at[jnp.concatenate([
+            jnp.where(nz & (rank < G), rank, 2 * G),
+            jnp.where(nz & (start_of < G), G + start_of, 2 * G)])].set(
+            jnp.concatenate([jnp.arange(N, dtype=jnp.int32),
+                             jnp.ones((N,), jnp.int32)]), mode="drop")
+        nz_states, starts01 = sc[:G], sc[G:2 * G]
+        rank_of_g = mm_cumsum(starts01)
+        s_of_g = jnp.clip(nz_states[jnp.clip(rank_of_g - 1, 0, G - 1)],
+                          0, N - 1)
+        hit_ok = g < jnp.minimum(total, G)
+        # hitfield: marker rank (wide) or the jump locus itself (narrow)
+        hitfield = jnp.where(single, val, wball[:, 2])
+        state_cols = jnp.stack([start_of, hitfield, base, pref, rid,
+                                single.astype(jnp.int32)], axis=1)
+        hit_cols = state_cols[s_of_g]                    # (G,6)
+        hit_pos = hit_cols[:, 1] + (g - hit_cols[:, 0])
+        direct = hit_cols[:, 5] == 1
+        j_base = hit_cols[:, 2]
+        spilled = active & (cum > G) & (cnt > 0)
+        loc = jnp.where(hit_ok,
+                        jnp.where(direct, hit_cols[:, 1],
+                                  di.marker_rank_locus[jnp.clip(
+                                      hit_pos, 0,
+                                      di.marker_rank_locus.shape[0] - 1)]),
+                        -1)                              # (G,)
+
+        # ---- 5. outcomes + LF of newborns (G,B): as the wide step -------
+        li = jnp.clip(loc, 0, L - 1)
+        jbound = out_cat[jnp.concatenate([li, li + L])]  # (2G,B)
+        j_lo, j_hi = jbound[:G], jbound[G:]
+        cand_ok = (loc >= 0)[:, None] & (j_lo >= 0)
+        jrows = occ_rows(jnp.concatenate([j_lo, j_hi + 1]))  # (2G,B,4)
+        jrow_lo, jrow_hi = jrows[:G], jrows[G:]
+        j_onehot = (j_base[:, None] == jnp.arange(1, 5))  # (G,4)
+        j_first = di.sym_start[jnp.clip(j_base, 0, 4)]
+        e_lo = j_first[:, None] + jnp.sum(jrow_lo * j_onehot[:, None, :],
+                                          axis=2)
+        e_hi = j_first[:, None] + jnp.sum(jrow_hi * j_onehot[:, None, :],
+                                          axis=2) - 1
+        cand_ok &= e_lo <= e_hi
+        rec_parent = jnp.broadcast_to(hit_cols[:, 3][:, None], (G, B))
+        rec_event = li[:, None] * B + jnp.arange(B)[None, :]
+        c_pref = log_base + g[:, None] * B + jnp.arange(B)[None, :]
+        c_rid = jnp.broadcast_to(hit_cols[:, 4][:, None], (G, B))
+
+        cand = cand_ok.reshape(-1)                       # (HB,)
+        all_rid_c = c_rid.reshape(-1)
+        if locked:
+            # ---- 6L. slot-locked placement: newborn -> its read's slot --
+            # per-read newborn count ((HB,) scatter-add, no cumsum)
+            nb_cnt = jnp.zeros((N + 1,), jnp.int32).at[
+                jnp.where(cand, all_rid_c, N)].add(1, mode="drop")[:N]
+            # a read may hold ONE state: parent xor sole newborn
+            conflict = (nb_cnt > 1) | ((nb_cnt == 1) & keep)
+            place = cand & (nb_cnt[jnp.clip(all_rid_c, 0, N - 1)] == 1) \
+                & ~keep[jnp.clip(all_rid_c, 0, N - 1)]
+            dest = jnp.where(place, all_rid_c, N)
+            # overflow: ALL flag classes are (N,) slot-aligned vectors
+            overflow = overflow | spilled | spill_w | conflict
+            up = jnp.stack([jnp.where(keep, read_id, -1),
+                            kept_lo, kept_hi, pref], axis=1)  # (N,4)
+            ncols = jnp.stack([all_rid_c, e_lo.reshape(-1),
+                               e_hi.reshape(-1), c_pref.reshape(-1)], axis=1)
+            out = jnp.concatenate(
+                [up, jnp.full((1, 4), -1, up.dtype)], axis=0).at[dest].set(
+                ncols, mode="drop")[:N]
+            # conflicted reads are host-bound: clear the slot so their
+            # half-complete state never reaches the result merge
+            rid_out = jnp.where(conflict, -1, out[:, 0])
+            return ((rid_out, out[:, 1], out[:, 2], out[:, 3], overflow),
+                    (rec_parent, rec_event))
+
+        # ---- 6. hole allocation: newborns scatter into dead slots -------
+        hole = ~keep
+        M = max(N, HB)
+        two2 = mm_cumsum(jnp.stack([
+            jnp.pad(hole.astype(jnp.int32), (0, M - N)),
+            jnp.pad(cand.astype(jnp.int32), (0, M - HB))]))
+        h_ord, c_ord = two2[0][:N], two2[1][:HB]
+        h_rank = h_ord - hole.astype(jnp.int32)
+        c_rank = c_ord - cand.astype(jnp.int32)
+        n_holes = h_ord[-1]
+        slot_of_rank = jnp.full((HB + 1,), N, jnp.int32).at[
+            jnp.where(hole & (h_rank < HB), h_rank, HB)].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")[:HB]
+        placed_ok = cand & (c_rank < jnp.minimum(n_holes, HB))
+        dest = jnp.where(placed_ok,
+                         slot_of_rank[jnp.clip(c_rank, 0, HB - 1)], N)
+        dropped = cand & ~placed_ok
+        ovf_idx = jnp.concatenate([
+            jnp.where(spilled | spill_w, rid, num_reads),
+            jnp.where(dropped, all_rid_c, num_reads)])
+        overflow = overflow.at[ovf_idx].set(True, mode="drop")
+
+        up = jnp.stack([jnp.where(keep, read_id, -1),
+                        kept_lo, kept_hi, pref], axis=1)  # (N,4)
+        ncols = jnp.stack([all_rid_c, e_lo.reshape(-1),
+                           e_hi.reshape(-1), c_pref.reshape(-1)], axis=1)
+        out = jnp.concatenate(
+            [up, jnp.full((1, 4), -1, up.dtype)], axis=0).at[dest].set(
+            ncols, mode="drop")[:N]
+        return ((out[:, 0], out[:, 1], out[:, 2], out[:, 3], overflow),
+                (rec_parent, rec_event))
+
+    return step
+
+
+def _lock_pool(carry, pool: int, num_reads: int):
+    """Transition into a slot-locked phase: scatter each read's SOLE
+    live state into slot rid; reads holding >1 state (multi-mapping at
+    this depth -- rare past ~16 extended bases) are flagged overflow for
+    the exact host path. pool == num_reads == per-shard rows."""
+    read_id, lo, hi, pref, overflow = carry
+    R = pool
+    valid = read_id >= 0
+    ridc = jnp.clip(read_id, 0, R - 1)
+    cnt = jnp.zeros((R + 1,), jnp.int32).at[
+        jnp.where(valid, ridc, R)].add(1, mode="drop")[:R]
+    overflow = overflow | (cnt > 1)
+    place = valid & (cnt[ridc] == 1)
+    dest = jnp.where(place, ridc, R)
+    cat = jnp.stack([ridc, lo, hi, pref], axis=1)
+    out = jnp.full((R + 1, 4), -1, cat.dtype).at[dest].set(
+        cat, mode="drop")[:R]
+    # unplaced slots: read_id -1, numeric fields zeroed
+    placed = out[:, 0] >= 0
+    z = lambda a: jnp.where(placed, a, 0)
+    return (out[:, 0], z(out[:, 1]), z(out[:, 2]), z(out[:, 3]), overflow)
+
+
 def _resize_pool(carry, pool: int, num_reads: int):
     """Live states are dense-packed at the pool front (the repack
     guarantees it), so shrinking = slicing; states sliced off flag their
@@ -255,14 +511,32 @@ def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
     live = []
     log_base = 0
     offset = 0
-    for n_steps, pool, hits in phases:
+    for entry in phases:
+        n_steps, pool, hits, narrow_w, kind = _phase4(entry)
         cfg = LogConfig(pool=pool, hits=hits)
-        carry = _resize_pool(carry, pool, num_reads)
-        step = _build_log_step(di, cfg, num_reads, occ_rows=occ_rows)
+        narrow_ok = narrow_w > 0 and di.narrow_tab.shape[0] == di.size
+        if kind == "locked" and narrow_ok:
+            carry = _lock_pool(carry, pool, num_reads)
+            step = _build_narrow_step(di, cfg, num_reads, narrow_w,
+                                      occ_rows=occ_rows, locked=True)
+        elif narrow_ok:
+            carry = _resize_pool(carry, pool, num_reads)
+            step = _build_narrow_step(di, cfg, num_reads, narrow_w,
+                                      occ_rows=occ_rows)
+        else:
+            carry = _resize_pool(carry, pool, num_reads)
+            step = _build_log_step(di, cfg, num_reads, occ_rows=occ_rows)
         lb = log_base + jnp.arange(n_steps, dtype=jnp.int32) * (
             hits * di.n_outcomes)
         xs = (jax.lax.slice_in_dim(reads_T, offset, offset + n_steps), lb)
-        carry, (lp, le) = jax.lax.scan(step, carry, xs)
+        # unrolling the scan body lets XLA schedule/fuse ACROSS steps:
+        # the step is bound by per-op overhead, not gather volume
+        # (docs/SCAN_LATENCY.md round-5 A/B), so fewer, larger compiled
+        # regions pay; bounded by compile time through the relay
+        import os as _os
+        unroll = int(_os.environ.get("GRAMTOOLS_TPU_UNROLL", "1"))
+        carry, (lp, le) = jax.lax.scan(step, carry, xs,
+                                       unroll=min(unroll, n_steps))
         logs_p.append(lp.reshape(-1))
         logs_e.append(le.reshape(-1))
         if collect_live:
@@ -371,7 +645,7 @@ def _record_body(di: DeviceIndex, rt, st, reads_p, slot_sidx, slot_row,
     triples."""
     from .record_jax import replay_device, select_and_record_device
 
-    steps = sum(n for n, _, _ in phases)
+    steps = sum(e[0] for e in phases)
     reads_T = _unpack_reads2(reads_p, row_len, steps, kmer_size)
 
     # initial carry from the placed (slot -> seed state, row) maps
@@ -471,7 +745,7 @@ def _unpack_result(flat: np.ndarray, phases, num_reads: int,
     over shards."""
     S = n_shards
     N = phases[-1][1]
-    L = sum(n * h for n, _, h in phases) * n_outcomes
+    L = sum(e[0] * e[2] for e in phases) * n_outcomes
     block = 4 * N + num_reads + 2 * L
     assert flat.size == S * block, (flat.size, S, block)
     rid = np.empty(S * N, flat.dtype)
@@ -508,7 +782,7 @@ def _unpack_result(flat: np.ndarray, phases, num_reads: int,
 
 
 def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
-                n_seed_states: int = 0):
+                n_seed_states: int = 0, narrow: Optional[bool] = None):
     """Segment plan sized from MEASURED state/hit decay (4.4Mb/100k-site
     graph, 150bp reads, k=10, scaled to rows): live states collapse
     124k -> 60k -> 37k -> 28k over steps 0..4 and stay flat at ~0.67
@@ -532,7 +806,14 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
     seed-state term is a grow-only ratchet that matters only for
     high-fan-out graphs (small k), where an extra compile beats
     mass-spilling rows to the host engine."""
+    import os
+    if narrow is None:
+        narrow = os.environ.get("GRAMTOOLS_TPU_NARROW", "1") == "1"
     WARM, MID = 2, 4
+    # slot-locked tail starts once states are ~unique: after LOCK_AFTER
+    # steps the matched suffix is k + LOCK_AFTER bases long, so the
+    # multi-state (flagged -> host) read fraction is ~n/4^(k+LOCK_AFTER)
+    lock_after = int(os.environ.get("GRAMTOOLS_TPU_LOCK_AFTER", "14"))
     pool_warm = min(cfg.pool, max(_next_pow2(4 * num_reads, floor=64),
                                   _next_pow2(2 * n_seed_states, floor=64)
                                   if n_seed_states else 64))
@@ -540,18 +821,35 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
     hits_mid = min(cfg.hits, max(cfg.hits // 4, 8))
     pool_tail = min(pool_mid, max(_round_up(5 * num_reads // 4, 64), 64))
     hits_tail = min(hits_mid, max(cfg.hits // 8, 8))
+    # narrow-step wide budget: sized to the per-step newborn volume (the
+    # only states that re-widen mid-tail); repeats/dense graphs past the
+    # budget flag -> same-shape retry -> exact host re-map
+    wide_w = min(pool_tail, max(hits_tail, 64)) if narrow else 0
+    narrow_len = max(lock_after - WARM - MID, 0) if narrow else None
     plan = []
     remaining = steps
-    for length, pool, hits in ((WARM, pool_warm, cfg.hits),
-                               (MID, pool_mid, hits_mid),
-                               (None, pool_tail, hits_tail)):
+    segments = [(WARM, pool_warm, cfg.hits, 0, ""),
+                (MID, pool_mid, hits_mid, 0, "")]
+    if narrow and num_reads <= pool_tail:
+        segments += [(narrow_len, pool_tail, hits_tail, wide_w, ""),
+                     (None, num_reads, hits_tail,
+                      min(num_reads, wide_w), "locked")]
+    else:
+        segments += [(None, pool_tail, hits_tail, wide_w or 0, "")]
+    for length, pool, hits, nw, kind in segments:
         n = remaining if length is None else min(length, remaining)
         if n <= 0:
-            break
-        if plan and (plan[-1][1], plan[-1][2]) == (pool, hits):
-            plan[-1] = (plan[-1][0] + n, pool, hits)
+            continue
+        if kind == "locked":
+            entry = (n, pool, hits, nw, kind)
+        elif nw:
+            entry = (n, pool, hits, nw)
         else:
-            plan.append((n, pool, hits))
+            entry = (n, pool, hits)
+        if plan and plan[-1][1:] == entry[1:]:
+            plan[-1] = (plan[-1][0] + n,) + entry[1:]
+        else:
+            plan.append(entry)
         remaining -= n
     return tuple(plan)
 

@@ -31,10 +31,13 @@ int64_t gram_tpu_kmer_screen(const uint8_t* fwd, int64_t n, int32_t L,
                              uint8_t* oriented, uint8_t* passed,
                              int32_t num_threads) {
     if (L < k || k <= 0 || k > 14) {
-        for (int64_t i = 0; i < 2 * n; ++i) passed[i] = 0;
+        // populate BOTH outputs on the guard path: callers receive the
+        // oriented matrix regardless of pass/fail
+        std::memset(passed, 0, (size_t)(2 * n));
+        std::memset(oriented, 0, (size_t)(2 * n) * (size_t)L);
         return 0;
     }
-    const uint32_t mask = (k == 16) ? 0xffffffffu : ((1u << (2 * k)) - 1);
+    const uint32_t mask = (1u << (2 * k)) - 1;  // k <= 14 guaranteed above
     int64_t total = 0;
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);

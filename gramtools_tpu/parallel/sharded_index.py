@@ -80,7 +80,10 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
             "pos_to_locus", "marker_rank_locus", "sentinel_row",
             "out_lo", "out_hi", "ops_kind", "ops_site", "ops_allele",
             "size", "n_outcomes", "n_ops")},
-        "occ": jnp.zeros((1, 4), occ_np.dtype)})
+        "occ": jnp.zeros((1, 4), occ_np.dtype),
+        # narrow-step table stubbed: the SA-range-sharded occ path keeps
+        # the wide step (the stub also gates auto_phases' narrow plan)
+        "narrow_tab": jnp.zeros(1, jnp.int32)})
 
     def shard_fn(di_rep, occ_local, reads_T, carry, p):
         off = jax.lax.axis_index("idx") * rows_per_shard
@@ -120,7 +123,7 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
     def run(reads_T, carry):
         p = phases
         if p is None:
-            p = auto_phases(reads_T.shape[0], num_reads, cfg)
+            p = auto_phases(reads_T.shape[0], num_reads, cfg, narrow=False)
         return build(tuple(p))(small, occ_dev, reads_T, carry)
 
     return run

@@ -39,3 +39,20 @@ def test_multithread_matches_single(tmp_path):
     assert single[1] == multi[1]           # allele sums
     assert single[2] == multi[2]           # grouped counts
     assert np.array_equal(single[3], multi[3])  # per-base coverage
+
+
+def test_no_fork_after_jax_init(tmp_path):
+    """fork() after JAX backend init is a latent deadlock (JAX runs a
+    multithreaded runtime): once a backend is live the pool must switch
+    to spawn workers."""
+    import jax
+
+    from gramtools_tpu.mapping.quasimap import _pool_start_method
+
+    jax.jit(lambda x: x + 1)(np.float32(1.0)).block_until_ready()
+    assert _pool_start_method() == "spawn"
+    # parity must hold with spawned workers too (index ships by pickle)
+    single = run(tmp_path / "a", 1)
+    multi = run(tmp_path / "b", 2)
+    assert single[0] == multi[0]
+    assert np.array_equal(single[3], multi[3])

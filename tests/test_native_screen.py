@@ -64,7 +64,7 @@ def test_native_screen_mixed_pass_fail(ki, small_idx):
     # rows built from the PRG text itself pass; scrambled rows mostly
     # fail -- exercise the early-exit path on both classes
     rng = np.random.RandomState(1)
-    text = small_idx.prg_ints
+    text = small_idx.prg
     dna = text[(text >= 1) & (text <= 4)].astype(np.uint8)
     L = 30
     rows = [dna[o:o + L] for o in range(0, dna.size - L, 17)][:100]

@@ -118,7 +118,8 @@ def main():
     R_shard = READS_PER_DEVICE
     steps = READ_LEN - K
     cfg = LogConfig(pool=8 * R_shard, hits=R_shard // 2)
-    phases = auto_phases(steps, R_shard, cfg, n_seed_states=4 * R_shard)
+    phases = auto_phases(steps, R_shard, cfg, n_seed_states=4 * R_shard,
+                         narrow=False)
     pool0 = phases[0][1]
 
     # ---- per-shard device time: the shard program run ALONE -----------
