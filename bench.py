@@ -42,7 +42,7 @@ READ_LEN = int(os.environ.get("BENCH_READ_LEN", "150"))
 KMER_SIZE = int(os.environ.get("BENCH_KMER_SIZE", "10"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4096"))       # scan-only batch
 BATCHES = int(os.environ.get("BENCH_BATCHES", "8"))
-E2E_READS = int(os.environ.get("BENCH_E2E_READS", "40000"))
+E2E_READS = int(os.environ.get("BENCH_E2E_READS", "120000"))
 # warmup = ONE production buffer: it dispatches the canonical sticky
 # shapes, so the timed run recompiles nothing (steady_state_new_shapes
 # proves it). Two-buffer warmups blew the driver's wall budget (r03).
@@ -481,21 +481,31 @@ def main():
     bl_seeds = rng.randint(0, 2 ** 32, size=bl_n).astype(np.uint32)
     n_sites_tally = (int(np.max(prg_ints[prg_ints > 4])) - 3) // 2 if (
         prg_ints > 4).any() else 1
-    t3 = time.time()
-    bl_e2e = cpu_quasimap_e2e_baseline(
-        idx, jt, kmer_index, bl_reads, bl_seeds, n_sites=n_sites_tally,
-        num_threads=CPP_THREADS)
-    t4 = time.time()
-    if bl_e2e is not None:
-        cpp_rps = bl_n / (t4 - t3)
+
+    def _measure_cpp_e2e():
+        """The 2-core OpenMP baseline is sensitive to ANY concurrent
+        host activity (background device-touch thread, pickle flush):
+        measured 7.4k-37.5k reads/s for the same binary. Measured once
+        up front (so vs_baseline survives a deadline) and re-measured
+        on a quiet host at the end, keeping the MAX -- the baseline
+        must not be flattered down by our own noise."""
+        t3 = time.time()
+        r = cpu_quasimap_e2e_baseline(
+            idx, jt, kmer_index, bl_reads, bl_seeds, n_sites=n_sites_tally,
+            num_threads=CPP_THREADS)
+        return (None if r is None else (bl_n / (time.time() - t3), int(r[1])))
+
+    bl = _measure_cpp_e2e()
+    if bl is not None:
+        cpp_rps = bl[0]
         out["cpp_omp_baseline_reads_per_sec"] = round(cpp_rps, 1)
         out["cpp_threads"] = CPP_THREADS or os.cpu_count()
         out["baseline_host_cores"] = CPP_THREADS or os.cpu_count()
         out["baseline_scope"] = ("full pipeline: 2 orientations, kmer "
                                  "screen, seed, scan, select, tally")
-        out["baseline_mapped_reads"] = int(bl_e2e[1])
+        out["baseline_mapped_reads"] = bl[1]
         print(f"# C++/OpenMP e2e baseline ({out['cpp_threads']} threads): "
-              f"{cpp_rps:.0f} reads/s ({bl_e2e[1]}/{bl_n} mapped)",
+              f"{cpp_rps:.0f} reads/s ({bl[1]}/{bl_n} mapped)",
               file=sys.stderr)
 
     # scan-only secondary baseline (pre-seeded, one orientation)
@@ -741,6 +751,24 @@ def main():
               f"stages: {out['stage_seconds']}", file=sys.stderr)
         _phase_done("e2e")
 
+    # re-measure the C++ baseline on the now-quiet host; keep the MAX
+    # (see _measure_cpp_e2e) and recompute the ratios against it
+    if _remaining() > 20:
+        bl2 = _measure_cpp_e2e()
+        if bl2 is not None and (cpp_rps is None or bl2[0] > cpp_rps):
+            cpp_rps = bl2[0]
+            out["cpp_omp_baseline_reads_per_sec"] = round(cpp_rps, 1)
+            print(f"# C++/OpenMP e2e baseline (re-measured, quiet): "
+                  f"{cpp_rps:.0f} reads/s", file=sys.stderr)
+        if cpp_rps and out.get("value"):
+            out["vs_baseline"] = round(out["value"] / cpp_rps, 2)
+            if out.get("value_source") == "e2e":
+                out["vs_baseline_e2e"] = out["vs_baseline"]
+            if out.get("scan_reads_per_sec") and out.get(
+                    "cpp_omp_scan_only_reads_per_sec"):
+                out["vs_baseline_scan"] = round(
+                    out["scan_reads_per_sec"]
+                    / out["cpp_omp_scan_only_reads_per_sec"], 2)
     # Scope note for the ratios: the device e2e rate covers the FULL
     # production path (read IO, both orientations, kmer screen, scan,
     # selection, coverage recording) and vs_baseline compares it to the

@@ -1,10 +1,16 @@
-"""JSON run reports with per-step success/runtime/traceback.
+"""JSON run reports: per-step success/runtime/traceback accounting.
 
-Parity: gramtools/commands/report.py:14-96.
+Schema parity with the reference's command reports
+(gramtools/commands/report.py:14-96): the on-disk JSON must carry the
+same keys ("success", "processes" with per-step {"success", "run_time",
+"traceback"}, "total_runtime", "current_working_directory", "paths",
+"path_hashes", "version_report") so downstream tooling reads either
+tool's reports. The implementation here is a context-manager timer
+around each step rather than a wrapping decorator.
 """
 from __future__ import annotations
 
-import collections
+import functools
 import hashlib
 import json
 import logging
@@ -17,69 +23,80 @@ from .. import __version__
 log = logging.getLogger("gramtools_tpu")
 
 
-def new_report():
-    return collections.OrderedDict(
-        {"success": "", "processes": collections.OrderedDict(),
-         "start_time": str(time.time()).split(".")[0]})
+def new_report() -> dict:
+    return {"success": "", "processes": {}, "start_time": str(int(time.time()))}
 
 
-def with_report(f):
-    def reportify(report, action, command_paths, *args):
-        success = True
-        timer_start = time.time()
-        original_result = None
-        traceback_string = ""
-        try:
-            original_result = f(report, action, command_paths, *args)
-        except Exception as e:
-            success = False
-            traceback_string = "".join(
-                traceback.format_exception(type(e), e, e.__traceback__))
-        timer_end = time.time()
+class _StepTimer:
+    """Times one pipeline step and folds the outcome into the report.
 
-        report["success"] = success
-        process_report = collections.OrderedDict(
-            {"success": success, "run_time": int(timer_end) - int(timer_start)})
-        if not success:
-            process_report["traceback"] = traceback_string.split("\n")
-        if action not in report["processes"]:
-            report["processes"][action] = process_report
-        else:
-            report["processes"][action] = {**process_report,
-                                           **report["processes"][action]}
-        if not success:
-            log.error("Traceback: \n%s", traceback_string)
-            log.error("Unsuccessful %s. Reported to %s", action,
-                      command_paths.report)
-            save_report(report, command_paths)
+    On exception: records the traceback under the step, writes the
+    report to disk and exits(1) -- a failed step must still leave a
+    readable report behind (the reference's contract)."""
+
+    def __init__(self, report: dict, step_name: str, paths):
+        self.report = report
+        self.step = step_name
+        self.paths = paths
+
+    def __enter__(self):
+        self._t0 = int(time.time())
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        elapsed = int(time.time()) - self._t0
+        ok = exc is None
+        entry = {"success": ok, "run_time": elapsed}
+        if not ok:
+            tb_text = "".join(traceback.format_exception(exc_type, exc, tb))
+            entry["traceback"] = tb_text.split("\n")
+        # a step may pre-populate details for itself; keep them
+        prior = self.report["processes"].get(self.step)
+        self.report["processes"][self.step] = (
+            entry if prior is None else {**entry, **prior})
+        self.report["success"] = ok
+        if not ok:
+            log.error("Traceback: \n%s", tb_text)
+            log.error("Unsuccessful %s. Reported to %s", self.step,
+                      self.paths.report)
+            save_report(self.report, self.paths)
             raise SystemExit(1)
-        return original_result
-
-    return reportify
+        return False
 
 
-def _file_hash(file_path):
+def with_report(step_fn):
+    """Run ``step_fn(report, step_name, paths, *args)`` under a
+    _StepTimer keyed by ``step_name``."""
+
+    @functools.wraps(step_fn)
+    def timed_step(report, step_name, paths, *args):
+        with _StepTimer(report, step_name, paths):
+            return step_fn(report, step_name, paths, *args)
+
+    return timed_step
+
+
+def _file_hash(file_path) -> str:
     sha = hashlib.sha256()
-    with open(file_path, "rb") as f:
-        while True:
-            data = f.read(int(1e7))
-            if not data:
-                break
-            sha.update(data)
+    with open(file_path, "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 23), b""):
+            sha.update(block)
     return sha.hexdigest()
 
 
-def hash_command_paths(command_paths):
-    out = {}
-    for command, component in command_paths.items():
-        if isinstance(component, list):
-            out[command] = {str(p): _file_hash(p) for p in component if p.is_file()}
-        elif component.is_file():
-            out[command] = _file_hash(component)
-    return out
+def hash_command_paths(command_paths: dict) -> dict:
+    """sha256 per existing input/output file (lists hash per-element)."""
+    hashes = {}
+    for name, item in command_paths.items():
+        if isinstance(item, list):
+            hashes[name] = {str(p): _file_hash(p) for p in item
+                            if p.is_file()}
+        elif item.is_file():
+            hashes[name] = _file_hash(item)
+    return hashes
 
 
-def _version_report():
+def _version_report() -> dict:
     """Parity: gramtools/version/report.py (version + embedded commit)."""
     info = {"version_number": __version__}
     try:
@@ -94,15 +111,13 @@ def _version_report():
     return info
 
 
-def save_report(report, command_paths, command_hash_paths=None):
-    end_time = str(time.time()).split(".")[0]
-    start_time = report.pop("start_time", end_time)
-    report.update(collections.OrderedDict([
-        ("total_runtime", int(end_time) - int(start_time)),
-        ("current_working_directory", os.getcwd()),
-        ("paths", command_paths.dict()),
-        ("path_hashes", command_hash_paths),
-        ("version_report", _version_report()),
-    ]))
+def save_report(report: dict, command_paths, command_hash_paths=None):
+    now = int(time.time())
+    started = int(report.pop("start_time", now))
+    report["total_runtime"] = now - started
+    report["current_working_directory"] = os.getcwd()
+    report["paths"] = command_paths.dict()
+    report["path_hashes"] = command_hash_paths
+    report["version_report"] = _version_report()
     with open(command_paths.report, "w") as fh:
         json.dump(report, fh, indent=4)

@@ -374,14 +374,18 @@ def dump_all(coverage: Coverage, idx: PrgIndex, allele_sum_path, allele_base_pat
                   separators=(",", ":"))
         fh.write("\n")
 
-    # group-ID hashing parity: grouped_allele_counts.cpp:51-67
-    group_ids: Dict[Tuple[int, ...], int] = {}
-    for site in coverage.grouped_counts:
-        for group in site:
-            if group not in group_ids:
-                group_ids[group] = len(group_ids)
+    # group-ID assignment (grouped_allele_counts.cpp:51-67): the
+    # reference numbers groups in hash-map iteration order, which is
+    # arbitrary; here ids are assigned in SORTED group order so the
+    # artifact is identical however recording interleaved device-folded
+    # and host-fallback reads (docs/PARITY.md)
+    all_groups = sorted({group for site in coverage.grouped_counts
+                         for group in site})
+    group_ids: Dict[Tuple[int, ...], int] = {
+        g: i for i, g in enumerate(all_groups)}
     site_counts = [
-        {str(group_ids[g]): c for g, c in site.items()}
+        {str(group_ids[g]): c
+         for g, c in sorted(site.items(), key=lambda kv: group_ids[kv[0]])}
         for site in coverage.grouped_counts
     ]
     allele_groups = {str(gid): list(group) for group, gid in group_ids.items()}

@@ -70,16 +70,20 @@ ECAP_BASE = 4096     # encapsulated-split occurrence expansion slots
 TRCAP_BASE = 4096    # traversing-state occurrence expansion slots
 WCAP_BASE = 8192     # per-base walk lanes (selected-state occurrences)
 EMITCAP_BASE = 32768  # per-base walk emissions per buffer
+LCAP_BASE = 16384    # compacted traversed-loci lanes (sum of n_trav over
+                     # live states: ~3.4 crossed sites/read; the budget
+                     # is ~4/row -- spill flags the row to host)
 
 
 def buffer_caps(R: int):
-    """(ecap, trcap, wcap, emitcap) for an R-row buffer: the round-2
-    constants at R<=10240, scaled linearly above."""
+    """(ecap, trcap, wcap, emitcap, lcap) for an R-row buffer: the
+    round-2 constants at R<=10240, scaled linearly above."""
     s = max(R, 10240)
     return (max(ECAP_BASE, (ECAP_BASE * s) // 10240),
             max(TRCAP_BASE, (TRCAP_BASE * s) // 10240),
             max(WCAP_BASE, (WCAP_BASE * s) // 10240),
-            max(EMITCAP_BASE, (EMITCAP_BASE * s) // 10240))
+            max(EMITCAP_BASE, (EMITCAP_BASE * s) // 10240),
+            max(LCAP_BASE, (LCAP_BASE * s) // 10240))
 
 # fallback reason bits (per-row int32 mask; 0 = no fallback). Kept as
 # a mask all the way to the host so tuning can see WHICH class fires.
@@ -93,11 +97,13 @@ FB_RNG = 64         # mt19937 uniform_int rejection branch
 FB_TRIPS = 128      # selected loci spilled trip_cap
 FB_WALK = 256       # per-base walk lanes spilled wcap
 FB_EMIT = 512       # per-base emissions spilled emitcap
+FB_LOCI = 1024      # compacted traversed-loci lanes spilled lcap
 FB_NAMES = {FB_CHAIN: "chain_depth", FB_ENC: "encapsulated_spill",
             FB_DUP_SITE: "dup_site", FB_TRAV: "traversing_spill",
             FB_KCAP: "kcap", FB_CONFLICT: "allele_conflict",
             FB_RNG: "rng_rejection", FB_TRIPS: "trip_spill",
-            FB_WALK: "walk_spill", FB_EMIT: "emit_spill"}
+            FB_WALK: "walk_spill", FB_EMIT: "emit_spill",
+            FB_LOCI: "loci_spill"}
 
 _URNG_RANGE = (1 << 32) - 1
 _PAD = -1            # key padding: sorts before any site marker (>= 5)
@@ -126,6 +132,10 @@ class RecordTables:
     anc_site: jnp.ndarray       # (n_sites, A) int32
     anc_allele: jnp.ndarray     # (n_sites, A) int32
     base_site: jnp.ndarray      # (n_sites,) int32 level-1 ancestor marker
+    nt_walk: jnp.ndarray        # (n_nodes, 4) int32 [n_edges, seq_len,
+                                #  in_bubble, edge_off]: the per-base
+                                #  walk's per-iteration node metadata as
+                                #  ONE row gather
     cov_size: int               # flat per-base coverage length
     n_nodes: int
     max_anc: int
@@ -152,6 +162,11 @@ class RecordTables:
             anc_site=jnp.asarray(sm.anc_site.astype(np.int32)),
             anc_allele=jnp.asarray(sm.anc_allele.astype(np.int32)),
             base_site=jnp.asarray(sm.base_site.astype(np.int32)),
+            nt_walk=jnp.asarray(np.stack([
+                nt.n_edges.astype(np.int32),
+                nt.seq_len.astype(np.int32),
+                nt.in_bubble.astype(np.int32),
+                nt.edge_offset[:nt.seq_len.size].astype(np.int32)], axis=1)),
             cov_size=int(g.coverage.size),
             n_nodes=int(nt.seq_len.size),
             max_anc=int(sm.max_depth),
@@ -163,7 +178,7 @@ jax.tree_util.register_dataclass(
     data_fields=["ra_node", "ra_offset", "nt_site", "nt_allele", "nt_seq_len",
                  "nt_in_bubble", "nt_n_edges", "nt_edge_off", "nt_edges",
                  "nt_cov_start", "anc_len", "anc_site", "anc_allele",
-                 "base_site"],
+                 "base_site", "nt_walk"],
     meta_fields=["cov_size", "n_nodes", "max_anc"],
 )
 
@@ -233,7 +248,7 @@ jax.tree_util.register_dataclass(
 
 
 def replay_device(di: DeviceIndex, f_pref, log_parent, log_event,
-                  st: "SeedTables", alive):
+                  st: "SeedTables", alive, stage: int = 99):
     """Rebuild (trav, n_trav, ing, n_ing) for every pool state.
 
     f_pref: (N,) genealogy refs (negative = GLOBAL seed-state index
@@ -245,21 +260,37 @@ def replay_device(di: DeviceIndex, f_pref, log_parent, log_event,
     le = log_event if log_event.shape[0] else jnp.zeros(1, jnp.int32)
     lp = log_parent if log_parent.shape[0] else jnp.zeros(1, jnp.int32)
 
-    def chase(d, carry):
-        p, events = carry
+    # chain chase with DYNAMIC depth: production chains are ~#sites the
+    # read crossed (3-6), so running the static MAX_CHAIN=32 levels
+    # wasted ~6x device iterations; the while_loop stops when every
+    # chain hit its seed (the per-iteration any() reduction is cheap
+    # next to the (N,) gathers it saves)
+    lple = jnp.stack([lp, le], axis=1)     # (Lg, 2): one row gather/level
+
+    def chase_cond(carry):
+        p, events, d = carry
+        return jnp.any(p >= 0) & (d < MAX_CHAIN)
+
+    def chase(carry):
+        p, events, d = carry
         live = p >= 0
         pc = jnp.clip(p, 0, Lg - 1)
-        ev = jnp.where(live, le[pc], -1)
+        rows = lple[pc]                    # (N, 2)
+        ev = jnp.where(live, rows[:, 1], -1)
         events = jax.lax.dynamic_update_index_in_dim(events, ev, d, axis=0)
-        p = jnp.where(live, lp[pc], p)
-        return p, events
+        p = jnp.where(live, rows[:, 0], p)
+        return p, events, d + 1
 
     p0 = jnp.where(alive, f_pref, jnp.full_like(f_pref, -1))
-    p, events = jax.lax.fori_loop(
-        0, MAX_CHAIN, chase,
-        (p0, jnp.full((MAX_CHAIN, N), -1, jnp.int32)))
+    p, events, depth = jax.lax.while_loop(
+        chase_cond, chase,
+        (p0, jnp.full((MAX_CHAIN, N), -1, jnp.int32), jnp.int32(0)))
     bad = alive & (p >= 0)  # chain longer than MAX_CHAIN
     seed_idx = jnp.clip(-p - 1, 0, max(st.n_states - 1, 0))
+    if stage <= 1:                     # chase loop only
+        z2 = jnp.zeros((N, TCAP, 2), jnp.int32)
+        zn = jnp.sum(events, axis=0).astype(jnp.int32) * 0
+        return z2, zn + seed_idx.astype(jnp.int32) * 0, z2, zn, bad
 
     # seed paths gathered from the RESIDENT CSR tables by global index
     P0c = min(st.max_path, TCAP)
@@ -278,43 +309,53 @@ def replay_device(di: DeviceIndex, f_pref, log_parent, log_event,
         trav = trav.at[:, :P0c].set(jnp.where(tmask, st.t_flat[tg], 0))
         ing = ing.at[:, :P0c].set(jnp.where(imask, st.i_flat[ig], 0))
     bad |= alive & ((n_trav > TCAP) | (n_ing > TCAP))
+    if stage <= 2:                     # + seed-path gather
+        return trav, n_trav, ing, n_ing, bad
 
     kind2 = di.ops_kind.reshape(-1, di.n_ops)
     site2 = di.ops_site.reshape(-1, di.n_ops)
     allele2 = di.ops_allele.reshape(-1, di.n_ops)
     ar = jnp.arange(N)
 
-    # apply root->leaf: d = MAX_CHAIN-1 .. 0 (events past chain end = -1)
-    def apply_level(i, carry):
-        trav, n_trav, ing, n_ing, bad = carry
-        d = MAX_CHAIN - 1 - i
-        ev = jax.lax.dynamic_index_in_dim(events, d, axis=0, keepdims=False)
+    # apply root->leaf: start at the deepest level the chase actually
+    # reached (events past the chain end are -1); paired (site, allele)
+    # writes land in ONE row scatter each
+    def apply_level(carry):
+        trav, n_trav, ing, n_ing, bad, d = carry
+        ev = jax.lax.dynamic_index_in_dim(events, jnp.maximum(d, 0),
+                                          axis=0, keepdims=False)
         valid = ev >= 0
         evc = jnp.clip(ev, 0, kind2.shape[0] - 1)
+        # ONE (N, O) row gather per table per level (not O element
+        # gathers): gather cost is per gathered ROW on this hardware
+        kind_rows = kind2[evc]
+        site_rows = site2[evc]
+        allele_rows = allele2[evc]
         for o in range(di.n_ops):
-            kind = jnp.where(valid, kind2[evc, o], 0)
-            site = site2[evc, o]
-            allele = allele2[evc, o]
+            kind = jnp.where(valid, kind_rows[:, o], 0)
+            site = site_rows[:, o]
+            allele = allele_rows[:, o]
             is_exit = kind == OP_EXIT
             is_enter = kind == OP_ENTER
             # exit: pop traversing (if any), append (site, allele)
             n_ing = jnp.where(is_exit & (n_ing > 0), n_ing - 1, n_ing)
             wpos = jnp.where(is_exit, jnp.minimum(n_trav, TCAP), TCAP)
-            trav = trav.at[ar, wpos, 0].set(site, mode="drop")
-            trav = trav.at[ar, wpos, 1].set(allele, mode="drop")
+            trav = trav.at[ar, wpos].set(
+                jnp.stack([site, allele], axis=1), mode="drop")
             bad = bad | (is_exit & (n_trav >= TCAP))
             n_trav = jnp.where(is_exit, jnp.minimum(n_trav + 1, TCAP), n_trav)
             # enter: push (site, ALLELE_UNKNOWN)
             wpos = jnp.where(is_enter, jnp.minimum(n_ing, TCAP), TCAP)
-            ing = ing.at[ar, wpos, 0].set(site, mode="drop")
-            ing = ing.at[ar, wpos, 1].set(
-                jnp.full_like(site, ALLELE_UNKNOWN), mode="drop")
+            ing = ing.at[ar, wpos].set(
+                jnp.stack([site, jnp.full_like(site, ALLELE_UNKNOWN)],
+                          axis=1), mode="drop")
             bad = bad | (is_enter & (n_ing >= TCAP))
             n_ing = jnp.where(is_enter, jnp.minimum(n_ing + 1, TCAP), n_ing)
-        return trav, n_trav, ing, n_ing, bad
+        return trav, n_trav, ing, n_ing, bad, d - 1
 
-    trav, n_trav, ing, n_ing, bad = jax.lax.fori_loop(
-        0, MAX_CHAIN, apply_level, (trav, n_trav, ing, n_ing, bad))
+    trav, n_trav, ing, n_ing, bad, _ = jax.lax.while_loop(
+        lambda c: c[5] >= 0, apply_level,
+        (trav, n_trav, ing, n_ing, bad, depth - 1))
     return trav, n_trav, ing, n_ing, bad
 
 
@@ -327,17 +368,32 @@ def _expand_budget(widths, cap: int):
     """Device twin of coverage_fast._expand with a static output budget.
 
     widths: (M,) int32 >= 0. Returns (item_of (cap,), offset (cap,),
-    valid (cap,), spilled (M,) -- item had occurrences past the cap)."""
+    valid (cap,), spilled (M,) -- item had occurrences past the cap).
+
+    item_of comes from a run-start scatter + prefix-max instead of
+    searchsorted: the binary search was log2(M) dependent gather rounds
+    over (cap,) and measured as the dominant block of the select
+    pipeline (tools/profile_record_device.py stage 1); the scatter +
+    associative max-scan are plain vector ops."""
+    widths = widths.astype(jnp.int32)
+    M = widths.shape[0]
     cum = jnp.cumsum(widths)
     total = cum[-1]
-    g = jnp.arange(cap, dtype=widths.dtype)
-    item_of = jnp.searchsorted(cum, g, side="right")
-    item_of = jnp.clip(item_of, 0, max(widths.shape[0] - 1, 0))
+    start = cum - widths                       # (M,) run starts
+    nz = widths > 0
+    g = jnp.arange(cap, dtype=jnp.int32)
+    # mark each run's start lane with item_index + 1 (0 = before any
+    # run); run starts are strictly increasing over nz items, so marks
+    # never collide. prefix-max fills each run with its owner.
+    marks = jnp.zeros(cap, jnp.int32).at[
+        jnp.where(nz & (start < cap), jnp.clip(start, 0, cap - 1), cap)
+    ].max(jnp.arange(1, M + 1, dtype=jnp.int32), mode="drop")
+    item_of = jax.lax.associative_scan(jnp.maximum, marks) - 1
+    item_of = jnp.clip(item_of, 0, max(M - 1, 0))
     valid = g < jnp.minimum(total, cap)
-    before = cum[item_of] - widths[item_of]
-    offset = g - before
-    spilled = (widths > 0) & (cum > cap)
-    return item_of.astype(jnp.int32), offset.astype(jnp.int32), valid, spilled
+    offset = g - start[item_of]
+    spilled = nz & (cum > cap)
+    return item_of, offset.astype(jnp.int32), valid, spilled
 
 
 def _segment_first(group_start_flags):
@@ -380,7 +436,7 @@ def select_and_record_device(
         # per row (R,):
         row_ok, row_first_raw, row_len,
         # persistent coverage diff array (cov_size+1,) int32:
-        cov_diff, trip_cap: int = 0):
+        cov_diff, trip_cap: int = 0, stage: int = 99):
     """Selection + recording for one scanned buffer.
 
     Returns (fallback (R,), mapped (R,), trip_row, trip_site,
@@ -388,16 +444,30 @@ def select_and_record_device(
     (row, site, allele) with row > R marking unused slots; duplicates
     (multiple chosen-class states sharing a locus) are left in for the
     host's neighbour-dedup. Semantics twin of
-    coverage_fast.select_and_record."""
+    coverage_fast.select_and_record.
+
+    ``stage`` is an OBSERVABILITY knob (tools/profile_record_device.py):
+    values < 99 return shape-compatible dummies after the numbered block
+    so each block's device cost can be measured as a prefix delta.
+    Production callers never pass it."""
     if trip_cap <= 0:
         trip_cap = 16 * row_ok.shape[0]
     N = f_rid.shape[0]
     R = row_ok.shape[0]
-    ecap, trcap, wcap, emitcap = buffer_caps(R)
+    ecap, trcap, wcap, emitcap, lcap = buffer_caps(R)
+
+    def _stage_out(fallback, cov_diff):
+        z = jnp.zeros(trip_cap, jnp.int32)
+        return (fallback, jnp.zeros(R, bool), jnp.full(trip_cap, R + 1,
+                                                       jnp.int32), z, z,
+                cov_diff)
     ar_n = jnp.arange(N)
     rid_c = jnp.clip(f_rid, 0, R - 1)
     alive = (f_rid >= 0) & row_ok[rid_c]
     fallback = _flag_rows_bit(R, state_bad & alive, rid_c, FB_CHAIN)
+
+    if stage <= 0:                     # measurement floor (plumbing only)
+        return _stage_out(fallback, cov_diff)
 
     has_path = (n_trav > 0) | (n_ing > 0)
 
@@ -452,6 +522,9 @@ def select_and_record_device(
         jnp.where(n_ing > 0, ing[ar_n, last_i, 0], 0),
         jnp.zeros(ecap, jnp.int32)])
 
+    if stage <= 1:                     # enc split + unified table
+        return _stage_out(fallback, cov_diff)
+
     # ---- site-uniqueness (duplicate site within one state's own path) ------
     slot = jnp.arange(TCAP, dtype=jnp.int32)[None, :]
     own_t = jnp.where(slot < ps_ntrav[:, None], ps_trav[:, :, 0],
@@ -464,12 +537,22 @@ def select_and_record_device(
     dup_site = jnp.any(own[:, 1:] == own[:, :-1], axis=1) & ps_live
     fallback |= _flag_rows_bit(R, dup_site, ps_row, FB_DUP_SITE)
 
+    if stage <= 2:                     # + dup-site block
+        return _stage_out(fallback, cov_diff)
+
     # ---- loci: traversed + traversing-derived + ancestors -------------------
-    t_valid = (slot < ps_ntrav[:, None]) & ps_live[:, None]
-    l1_state = jnp.repeat(jnp.arange(NS, dtype=jnp.int32), TCAP)
-    l1_site = ps_trav[:, :, 0].reshape(-1)
-    l1_allele = ps_trav[:, :, 1].reshape(-1)
-    l1_valid = t_valid.reshape(-1)
+    # COMPACTED via a budget expansion: the dense (NS, TCAP) lane grid
+    # is ~80% padding (mean n_trav ~3.4 of TCAP=16) and every downstream
+    # 3-key sort paid for it -- the sorts were the measured bulk of the
+    # fused record program (tools/profile_record_device.py)
+    t_counts = jnp.where(ps_live, ps_ntrav.astype(jnp.int32), 0)
+    li_item, li_off, li_valid, li_spill = _expand_budget(t_counts, lcap)
+    fallback |= _flag_rows_bit(R, li_spill, ps_row, FB_LOCI)
+    l1_pair = ps_trav[li_item, jnp.clip(li_off, 0, TCAP - 1)]  # (lcap, 2)
+    l1_state = li_item
+    l1_site = l1_pair[:, 0]
+    l1_allele = l1_pair[:, 1]
+    l1_valid = li_valid
 
     tr_w = jnp.where(ps_live & (ps_ning > 0), ps_hi - ps_lo + 1, 0)
     tr_item, tr_off, tr_valid, tr_spill = _expand_budget(
@@ -512,6 +595,9 @@ def select_and_record_device(
     fallback |= _flag_rows_bit(R, same_ss, ps_row[trip_state],
                                FB_CONFLICT)
     LT = trip_state.shape[0]
+
+    if stage <= 3:                     # + loci build + dedup sort
+        return _stage_out(fallback, cov_diff)
 
     # ---- base-site key rows per state ---------------------------------------
     b_base = rt.base_site[
@@ -576,6 +662,9 @@ def select_and_record_device(
 
     mapped = _flag_rows(R, alive, rid_c)  # any live state => "mapped"
 
+    if stage <= 4:                     # + key rows + class sort + pick
+        return _stage_out(fallback, cov_diff)
+
     # ---- preliminary triple-capacity check (BEFORE per-base recording, so
     # spilled rows can still fall back cleanly with zero device traces) ----
     t_row = ps_row[trip_state]
@@ -587,10 +676,16 @@ def select_and_record_device(
         fallback |= _flag_rows_bit(R, over <= R, jnp.clip(over, 0, R - 1),
                                    FB_TRIPS)
 
+    if stage <= 5:                     # + preliminary trip check
+        return _stage_out(fallback, cov_diff)
+
     # ---- per-base coverage (may add fallback rows; do it before triples) ---
     cov_diff, fallback = _record_per_base_device(
         di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav, st_selected,
         row_len, fallback, cov_diff, wcap, emitcap)
+
+    if stage <= 6:                     # + per-base walk + envelope
+        return _stage_out(fallback, cov_diff)
 
     # ---- triples of the chosen classes, compact prefix of the sort ----------
     # fallback only grew since the preliminary check, so the valid prefix
@@ -633,63 +728,99 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
     full = w_off == 0
     trav_idx0 = ps_ntrav[w_item].astype(jnp.int32)
     trav_w = ps_trav[w_item]        # (wcap, TCAP, 2)
-    ar_w = jnp.arange(wcap)
 
-    def cond(state):
-        return jnp.any(state[0])
+    # State tuple layout (lane-count generic so the long-tail phase can
+    # run over a COMPACTED lane set -- see below):
+    # (active, first_iter, cur, start, remaining, trav_idx,
+    #  trav_l (lanes,TCAP,2), read_l, full_l, emits, cursor, spill)
 
-    def body(state):
-        (active, first_iter, cur, start, remaining, trav_idx,
-         e_row, e_node, e_start, e_end, cursor, spill) = state
-        move = active & ~first_iter
-        n_edges = rt.nt_n_edges[cur]
-        dead = move & ((remaining <= 0) | (n_edges == 0))
-        active = active & ~dead
-        move = move & ~dead
+    def make_body(lanes: int):
+        ar = jnp.arange(lanes)
 
-        is_bubble_entry = move & (n_edges > 1)
-        trav_idx = jnp.where(is_bubble_entry, trav_idx - 1, trav_idx)
-        choice = jnp.where(
-            is_bubble_entry,
-            trav_w[ar_w, jnp.clip(trav_idx, 0, TCAP - 1), 1], 0)
-        nxt = rt.nt_edges[jnp.clip(rt.nt_edge_off[cur] + choice, 0,
-                                   rt.nt_edges.shape[0] - 1)]
-        cur = jnp.where(move, nxt, cur)
-        start = jnp.where(move, 0, start)
+        def body(state):
+            (active, first_iter, cur, start, remaining, trav_idx,
+             trav_l, read_l, full_l, emits, cursor, spill) = state
+            # per-iteration node metadata: ONE (lanes, 4) row gather
+            wrows = rt.nt_walk[cur]
+            n_edges = wrows[:, 0]
+            move = active & ~first_iter
+            dead = move & ((remaining <= 0) | (n_edges == 0))
+            active = active & ~dead
+            move = move & ~dead
 
-        consume = active & (first_iter | move)
-        seq_len = rt.nt_seq_len[cur]
-        has_seq = seq_len > 0
-        end = jnp.where(has_seq,
-                        jnp.minimum(seq_len - 1, start + remaining - 1), 0)
-        used = jnp.where(consume & has_seq, end - start + 1, 0)
-        remaining = remaining - used
+            is_bubble_entry = move & (n_edges > 1)
+            trav_idx = jnp.where(is_bubble_entry, trav_idx - 1, trav_idx)
+            choice = jnp.where(
+                is_bubble_entry,
+                trav_l[ar, jnp.clip(trav_idx, 0, TCAP - 1), 1], 0)
+            nxt = rt.nt_edges[jnp.clip(wrows[:, 3] + choice, 0,
+                                       rt.nt_edges.shape[0] - 1)]
+            cur = jnp.where(move, nxt, cur)
+            start = jnp.where(move, 0, start)
+            wrows = jnp.where(move[:, None], rt.nt_walk[cur], wrows)
 
-        emit = consume & has_seq & rt.nt_in_bubble[cur]
-        pos_in = jnp.cumsum(emit.astype(jnp.int32)) - 1
-        dest = jnp.where(emit, cursor + pos_in, emitcap)
-        n_emit = jnp.sum(emit.astype(jnp.int32))
-        spill = spill | ((cursor + n_emit) > emitcap)
-        e_row = e_row.at[dest].set(read_of, mode="drop")
-        e_node = e_node.at[dest].set(cur, mode="drop")
-        e_start = e_start.at[dest].set(start, mode="drop")
-        e_end = e_end.at[dest].set(end, mode="drop")
-        cursor = jnp.minimum(cursor + n_emit, emitcap)
+            consume = active & (first_iter | move)
+            seq_len = wrows[:, 1]
+            in_bubble = wrows[:, 2] > 0
+            has_seq = seq_len > 0
+            end = jnp.where(
+                has_seq, jnp.minimum(seq_len - 1, start + remaining - 1), 0)
+            used = jnp.where(consume & has_seq, end - start + 1, 0)
+            remaining = remaining - used
 
-        returned_now = jnp.where(first_iter,
-                                 consume & rt.nt_in_bubble[cur],
-                                 move & (rt.nt_in_bubble[cur]
-                                         | is_bubble_entry))
-        active = active & ~(~full & returned_now)
-        return (active, jnp.zeros(wcap, bool), cur, start, remaining,
-                trav_idx, e_row, e_node, e_start, e_end, cursor, spill)
+            emit = consume & has_seq & in_bubble
+            pos_in = jnp.cumsum(emit.astype(jnp.int32)) - 1
+            dest = jnp.where(emit, cursor + pos_in, emitcap)
+            n_emit = jnp.sum(emit.astype(jnp.int32))
+            spill = spill | ((cursor + n_emit) > emitcap)
+            # all four emission fields in ONE (emitcap+1, 4) row scatter
+            erows = jnp.stack([read_l, cur, start, end], axis=1)
+            emits = emits.at[dest].set(erows, mode="drop")
+            cursor = jnp.minimum(cursor + n_emit, emitcap)
 
+            returned_now = jnp.where(first_iter,
+                                     consume & in_bubble,
+                                     move & (in_bubble | is_bubble_entry))
+            active = active & ~(~full_l & returned_now)
+            return (active, jnp.zeros(lanes, bool), cur, start, remaining,
+                    trav_idx, trav_l, read_l, full_l, emits, cursor, spill)
+
+        return body
+
+    emits0 = jnp.zeros((emitcap + 1, 4), jnp.int32).at[:, 0].set(_BIG)
     init = (w_valid, jnp.ones(wcap, bool), cur0, start0, remaining0,
-            trav_idx0, jnp.full(emitcap, _BIG), jnp.zeros(emitcap, jnp.int32),
-            jnp.zeros(emitcap, jnp.int32), jnp.zeros(emitcap, jnp.int32),
-            jnp.int32(0), jnp.array(False))
-    (_, _, _, _, _, _, e_row, e_node, e_start, e_end, _, spill
-     ) = jax.lax.while_loop(cond, body, init)
+            trav_idx0, trav_w, read_of, full, emits0, jnp.int32(0),
+            jnp.array(False))
+    # phase A: a FIXED number of full-width iterations (no per-iteration
+    # any() reduction). A 150bp read crosses ~3.4 sites -> ~8 nodes, so
+    # ~all lanes finish here; running the while_loop at full width until
+    # the single longest lane finished was the measured bulk of the
+    # select pipeline (tools/profile_record_device.py stage 6).
+    WALK_FIXED = 10
+    body_full = make_body(wcap)
+    stA = jax.lax.fori_loop(0, WALK_FIXED, lambda i, s: body_full(s), init)
+
+    # long tail: compact the (rare) still-active lanes 8x and loop there
+    w2 = max(min(wcap // 8, wcap), 1024)
+    activeA = stA[0]
+    rank2 = jnp.cumsum(activeA.astype(jnp.int32)) - activeA.astype(jnp.int32)
+    slot2 = jnp.full((w2 + 1,), wcap, jnp.int32).at[
+        jnp.where(activeA & (rank2 < w2), rank2, w2)].set(
+        jnp.arange(wcap, dtype=jnp.int32), mode="drop")
+    sel2 = jnp.clip(slot2[:w2], 0, wcap - 1)
+    live2 = slot2[:w2] < wcap
+    spill2 = activeA & (rank2 >= w2)        # lanes past the tail budget
+    fallback = fallback | _flag_rows_bit(R, spill2, stA[7], FB_WALK)
+
+    init2 = (live2 & stA[0][sel2], stA[1][sel2], stA[2][sel2], stA[3][sel2],
+             stA[4][sel2], stA[5][sel2], stA[6][sel2], stA[7][sel2],
+             stA[8][sel2], stA[9], stA[10], stA[11])
+    (_, _, _, _, _, _, _, _, _, emits, _, spill) = jax.lax.while_loop(
+        lambda s: jnp.any(s[0]), make_body(w2), init2)
+    e_row = emits[:emitcap, 0]
+    e_node = emits[:emitcap, 1]
+    e_start = emits[:emitcap, 2]
+    e_end = emits[:emitcap, 3]
 
     # emission spill: capacity bug-out -- every read with a selected state
     # falls back (expected never at the scaled emitcap; ~1 node per
