@@ -496,6 +496,10 @@ def main():
         return (None if r is None else (bl_n / (time.time() - t3), int(r[1])))
 
     bl = _measure_cpp_e2e()
+    for _ in range(2):      # best-of-3: the 2-core rate swings 5x with
+        b2 = _measure_cpp_e2e()     # host noise (docs/SCAN_LATENCY.md)
+        if b2 is not None and (bl is None or b2[0] > bl[0]):
+            bl = b2
     if bl is not None:
         cpp_rps = bl[0]
         out["cpp_omp_baseline_reads_per_sec"] = round(cpp_rps, 1)

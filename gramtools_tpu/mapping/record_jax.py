@@ -70,9 +70,10 @@ ECAP_BASE = 4096     # encapsulated-split occurrence expansion slots
 TRCAP_BASE = 4096    # traversing-state occurrence expansion slots
 WCAP_BASE = 8192     # per-base walk lanes (selected-state occurrences)
 EMITCAP_BASE = 32768  # per-base walk emissions per buffer
-LCAP_BASE = 16384    # compacted traversed-loci lanes (sum of n_trav over
-                     # live states: ~3.4 crossed sites/read; the budget
-                     # is ~4/row -- spill flags the row to host)
+LCAP_BASE = 61440    # compacted traversed-loci lanes: sum of n_trav over
+                     # live pool states + enc lanes ~ 0.8*R rows x ~3.4
+                     # crossed sites = ~2.8/row; budget 6/row (r5's first
+                     # 16384-base budget mass-spilled 34k rows/buffer)
 
 
 def buffer_caps(R: int):
@@ -375,6 +376,7 @@ def _expand_budget(widths, cap: int):
     over (cap,) and measured as the dominant block of the select
     pipeline (tools/profile_record_device.py stage 1); the scatter +
     associative max-scan are plain vector ops."""
+    import os as _os
     widths = widths.astype(jnp.int32)
     M = widths.shape[0]
     cum = jnp.cumsum(widths)
@@ -382,14 +384,18 @@ def _expand_budget(widths, cap: int):
     start = cum - widths                       # (M,) run starts
     nz = widths > 0
     g = jnp.arange(cap, dtype=jnp.int32)
-    # mark each run's start lane with item_index + 1 (0 = before any
-    # run); run starts are strictly increasing over nz items, so marks
-    # never collide. prefix-max fills each run with its owner.
-    marks = jnp.zeros(cap, jnp.int32).at[
-        jnp.where(nz & (start < cap), jnp.clip(start, 0, cap - 1), cap)
-    ].max(jnp.arange(1, M + 1, dtype=jnp.int32), mode="drop")
-    item_of = jax.lax.associative_scan(jnp.maximum, marks) - 1
-    item_of = jnp.clip(item_of, 0, max(M - 1, 0))
+    if _os.environ.get("GRAMTOOLS_TPU_EXPAND", "scan") == "searchsorted":
+        item_of = jnp.searchsorted(cum, g, side="right")
+        item_of = jnp.clip(item_of, 0, max(M - 1, 0))
+    else:
+        # mark each run's start lane with item_index + 1 (0 = before any
+        # run); run starts are strictly increasing over nz items, so
+        # marks never collide. prefix-max fills each run with its owner.
+        marks = jnp.zeros(cap, jnp.int32).at[
+            jnp.where(nz & (start < cap), jnp.clip(start, 0, cap - 1), cap)
+        ].max(jnp.arange(1, M + 1, dtype=jnp.int32), mode="drop")
+        item_of = jax.lax.associative_scan(jnp.maximum, marks) - 1
+        item_of = jnp.clip(item_of, 0, max(M - 1, 0))
     valid = g < jnp.minimum(total, cap)
     offset = g - start[item_of]
     spilled = nz & (cum > cap)
@@ -788,35 +794,52 @@ def _record_per_base_device(di, rt, ps_row, ps_lo, ps_hi, ps_trav, ps_ntrav,
         return body
 
     emits0 = jnp.zeros((emitcap + 1, 4), jnp.int32).at[:, 0].set(_BIG)
-    init = (w_valid, jnp.ones(wcap, bool), cur0, start0, remaining0,
-            trav_idx0, trav_w, read_of, full, emits0, jnp.int32(0),
-            jnp.array(False))
-    # phase A: a FIXED number of full-width iterations (no per-iteration
-    # any() reduction). A 150bp read crosses ~3.4 sites -> ~8 nodes, so
-    # ~all lanes finish here; running the while_loop at full width until
-    # the single longest lane finished was the measured bulk of the
-    # select pipeline (tools/profile_record_device.py stage 6).
-    WALK_FIXED = 10
-    body_full = make_body(wcap)
-    stA = jax.lax.fori_loop(0, WALK_FIXED, lambda i, s: body_full(s), init)
+    state = (w_valid, jnp.ones(wcap, bool), cur0, start0, remaining0,
+             trav_idx0, trav_w, read_of, full, emits0, jnp.int32(0),
+             jnp.array(False))
 
-    # long tail: compact the (rare) still-active lanes 8x and loop there
-    w2 = max(min(wcap // 8, wcap), 1024)
-    activeA = stA[0]
-    rank2 = jnp.cumsum(activeA.astype(jnp.int32)) - activeA.astype(jnp.int32)
-    slot2 = jnp.full((w2 + 1,), wcap, jnp.int32).at[
-        jnp.where(activeA & (rank2 < w2), rank2, w2)].set(
-        jnp.arange(wcap, dtype=jnp.int32), mode="drop")
-    sel2 = jnp.clip(slot2[:w2], 0, wcap - 1)
-    live2 = slot2[:w2] < wcap
-    spill2 = activeA & (rank2 >= w2)        # lanes past the tail budget
-    fallback = fallback | _flag_rows_bit(R, spill2, stA[7], FB_WALK)
+    def _compact(state, cur_w, new_w, fallback):
+        """Pack the still-active lanes into a new_w-lane state; lanes
+        past the budget flag their row FB_WALK (exact host re-map)."""
+        act = state[0]
+        rank = jnp.cumsum(act.astype(jnp.int32)) - act.astype(jnp.int32)
+        slot = jnp.full((new_w + 1,), cur_w, jnp.int32).at[
+            jnp.where(act & (rank < new_w), rank, new_w)].set(
+            jnp.arange(cur_w, dtype=jnp.int32), mode="drop")
+        sel = jnp.clip(slot[:new_w], 0, cur_w - 1)
+        live = slot[:new_w] < cur_w
+        spillw = act & (rank >= new_w)
+        fallback = fallback | _flag_rows_bit(R, spillw, state[7], FB_WALK)
+        packed = (live & state[0][sel],) + tuple(
+            state[i][sel] for i in range(1, 9)) + state[9:]
+        return packed, fallback
 
-    init2 = (live2 & stA[0][sel2], stA[1][sel2], stA[2][sel2], stA[3][sel2],
-             stA[4][sel2], stA[5][sel2], stA[6][sel2], stA[7][sel2],
-             stA[8][sel2], stA[9], stA[10], stA[11])
+    # EXPERIMENTAL staged schedule (GRAMTOOLS_TPU_WALK_STAGED=1):
+    # fixed-width runs with geometric lane compaction, sized from
+    # MEASURED lane-walk lengths (a site is ~5 nodes: entry/exit markers
+    # + 1bp allele nodes; a 150bp window spans p50=16 / p99=36 / max~51
+    # nodes -> compaction at iterations 22/30/38 against budgets 1/2,
+    # 1/4, 1/8). OFF BY DEFAULT: on the TPU relay the fori+compact+while
+    # chain executed ~50x slower than the plain loop (33 s vs 0.62 s per
+    # 20k-read buffer, driver-style measured 2026-08-21) despite being
+    # cost-neutral on the CPU backend -- suspected Mosaic/XLA loop
+    # codegen pathology, not understood; revisit with a profile before
+    # enabling.
+    import os as _os
+    if _os.environ.get("GRAMTOOLS_TPU_WALK_STAGED", "0") == "1":
+        cur_w = wcap
+        for n_iter, next_w in ((22, max(wcap // 2, 1024)),
+                               (8, max(wcap // 4, 1024)),
+                               (8, max(wcap // 8, 1024))):
+            body = make_body(cur_w)
+            state = jax.lax.fori_loop(0, n_iter, lambda i, s: body(s),
+                                      state)
+            state, fallback = _compact(state, cur_w, next_w, fallback)
+            cur_w = next_w
+    else:
+        cur_w = wcap
     (_, _, _, _, _, _, _, _, _, emits, _, spill) = jax.lax.while_loop(
-        lambda s: jnp.any(s[0]), make_body(w2), init2)
+        lambda s: jnp.any(s[0]), make_body(cur_w), state)
     e_row = emits[:emitcap, 0]
     e_node = emits[:emitcap, 1]
     e_start = emits[:emitcap, 2]

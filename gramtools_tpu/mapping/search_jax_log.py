@@ -230,7 +230,8 @@ def _phase4(entry):
 
 
 def _build_narrow_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
-                       wide_budget: int, occ_rows=None, locked: bool = False):
+                       wide_budget: int, occ_rows=None, locked: bool = False,
+                       narrow_rows=None):
     """Narrow-interval scan step: the tail-phase fast path.
 
     After ~6 extension steps nearly every live state's SA interval is a
@@ -272,6 +273,8 @@ def _build_narrow_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
     n = di.size
     if occ_rows is None:
         occ_rows = lambda rows: di.occ[jnp.clip(rows, 0, n)]
+    if narrow_rows is None:
+        narrow_rows = lambda rows: di.narrow_tab[jnp.clip(rows, 0, n - 1)]
     L = di.out_lo.shape[0]
     out_cat = jnp.concatenate([di.out_lo, di.out_hi])   # (2L,B)
     HB = G * B
@@ -292,7 +295,7 @@ def _build_narrow_step(di: DeviceIndex, cfg: LogConfig, num_reads: int,
         single = lo == hi
 
         # ---- 1. narrow path: ONE packed int32 gather per state ----------
-        t = di.narrow_tab[jnp.clip(lo, 0, n - 1)]
+        t = narrow_rows(lo)
         sym = t >> 24                 # 0 sentinel, 1-4 DNA, 5 marker
         val = t & 0xFFFFFF            # LF destination / jump locus
 
@@ -492,7 +495,7 @@ def _resize_pool(carry, pool: int, num_reads: int):
 
 
 def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
-                       occ_rows=None, collect_live=False):
+                       occ_rows=None, collect_live=False, narrow_rows=None):
     """phases: tuple of (n_steps, pool, hits) segments covering the scan.
 
     The live-state count and marker-hit volume both peak right after
@@ -514,15 +517,18 @@ def _log_search_phases(di: DeviceIndex, reads_T, carry, phases, num_reads,
     for entry in phases:
         n_steps, pool, hits, narrow_w, kind = _phase4(entry)
         cfg = LogConfig(pool=pool, hits=hits)
-        narrow_ok = narrow_w > 0 and di.narrow_tab.shape[0] == di.size
+        narrow_ok = narrow_w > 0 and (
+            narrow_rows is not None or di.narrow_tab.shape[0] == di.size)
         if kind == "locked" and narrow_ok:
             carry = _lock_pool(carry, pool, num_reads)
             step = _build_narrow_step(di, cfg, num_reads, narrow_w,
-                                      occ_rows=occ_rows, locked=True)
+                                      occ_rows=occ_rows, locked=True,
+                                      narrow_rows=narrow_rows)
         elif narrow_ok:
             carry = _resize_pool(carry, pool, num_reads)
             step = _build_narrow_step(di, cfg, num_reads, narrow_w,
-                                      occ_rows=occ_rows)
+                                      occ_rows=occ_rows,
+                                      narrow_rows=narrow_rows)
         else:
             carry = _resize_pool(carry, pool, num_reads)
             step = _build_log_step(di, cfg, num_reads, occ_rows=occ_rows)
@@ -662,13 +668,19 @@ def _record_body(di: DeviceIndex, rt, st, reads_p, slot_sidx, slot_row,
         occ_rows=_occ_rows_for(di, blocks, rank))
     rid, lo, hi, pref, ovf = carry
     alive = rid >= 0
+    # observability knobs (profiling only; see select_and_record_device
+    # docstring -- production never sets them)
+    import os as _os
+    r_stage = int(_os.environ.get("GRAMTOOLS_TPU_REPLAY_STAGE", "99"))
+    s_stage = int(_os.environ.get("GRAMTOOLS_TPU_RECORD_STAGE", "99"))
     trav, n_trav, ing, n_ing, bad = replay_device(
-        di, pref, lp, le, st, alive)
+        di, pref, lp, le, st, alive, stage=r_stage)
     row_ok2 = row_ok & ~ovf
     fallback, mapped, t_row, t_site, t_allele, cov_diff = \
         select_and_record_device(
             di, rt, rid, lo, hi, trav, n_trav, ing, n_ing, bad,
-            row_ok2, row_first_raw, row_len, cov_diff, trip_cap=trip_cap)
+            row_ok2, row_first_raw, row_len, cov_diff, trip_cap=trip_cap,
+            stage=s_stage)
     packed = jnp.concatenate([
         ovf.astype(jnp.int32), fallback.astype(jnp.int32),
         mapped.astype(jnp.int32), t_row, t_site, t_allele])

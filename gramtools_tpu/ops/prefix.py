@@ -33,7 +33,17 @@ def mm_cumsum(x, block: int = 512, exclusive: bool = False):
 
     x: int/bool array, any leading batch dims. Returns int32 (inclusive
     by default). Exact while every consumed prefix value < 2**24.
+
+    GRAMTOOLS_TPU_PREFIX=log selects plain jnp.cumsum instead (A/B knob:
+    the r4 A/B at 4k batches had the log-depth form ~7% faster; the
+    matmul form is kept for larger pools).
     """
+    import os
+    if os.environ.get("GRAMTOOLS_TPU_PREFIX") == "log":
+        out = jnp.cumsum(x.astype(jnp.int32), axis=-1)
+        if exclusive:
+            out = out - x.astype(jnp.int32)
+        return out
     orig_shape = x.shape
     n = orig_shape[-1]
     lead = orig_shape[:-1]

@@ -73,6 +73,15 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
 
     occ_np = np.asarray(di.occ)
     occ_pad, rows_per_shard = shard_occ(occ_np, n_idx)
+    # the narrow-step table shards by the same SA ranges: in the tail
+    # phases the collective then moves ONE int32 per state instead of
+    # two 4-int occ rows (the occ psum remains for warm phases and the
+    # narrow wide-budget/newborn sub-paths)
+    nt_np = np.asarray(di.narrow_tab)
+    has_narrow = nt_np.shape[0] == di.size
+    nt_pad, nt_rows_per_shard = shard_occ(
+        nt_np[:, None] if has_narrow else np.zeros((n_idx, 1), np.int32),
+        n_idx)
     # di travels with a stub occ: the real table goes in sharded
     small = DeviceIndex(**{
         **{f: getattr(di, f) for f in (
@@ -81,11 +90,9 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
             "out_lo", "out_hi", "ops_kind", "ops_site", "ops_allele",
             "size", "n_outcomes", "n_ops")},
         "occ": jnp.zeros((1, 4), occ_np.dtype),
-        # narrow-step table stubbed: the SA-range-sharded occ path keeps
-        # the wide step (the stub also gates auto_phases' narrow plan)
         "narrow_tab": jnp.zeros(1, jnp.int32)})
 
-    def shard_fn(di_rep, occ_local, reads_T, carry, p):
+    def shard_fn(di_rep, occ_local, nt_local, reads_T, carry, p):
         off = jax.lax.axis_index("idx") * rows_per_shard
 
         def occ_rows(rows):
@@ -96,8 +103,20 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
             v = jnp.where(ok[..., None], v, 0)
             return jax.lax.psum(v, "idx")
 
+        narrow_rows = None
+        if has_narrow:
+            noff = jax.lax.axis_index("idx") * nt_rows_per_shard
+
+            def narrow_rows(rows):
+                r = jnp.clip(rows, 0, di_rep.size - 1)
+                local = r - noff
+                ok = (local >= 0) & (local < nt_rows_per_shard)
+                v = nt_local[jnp.clip(local, 0, nt_rows_per_shard - 1), 0]
+                return jax.lax.psum(jnp.where(ok, v, 0), "idx")
+
         return _log_search_phases(di_rep, reads_T, carry, p, num_reads,
-                                  occ_rows=occ_rows)
+                                  occ_rows=occ_rows,
+                                  narrow_rows=narrow_rows)
 
     di_specs = jax.tree_util.tree_map(lambda _: P(), small)
     data = "data" if has_data else None
@@ -111,7 +130,8 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
     def build(p):
         sharded = shard_map(
             functools.partial(shard_fn, p=p), mesh=mesh,
-            in_specs=(di_specs, P("idx", None), reads_spec, carry_specs),
+            in_specs=(di_specs, P("idx", None), P("idx", None), reads_spec,
+                      carry_specs),
             out_specs=(carry_specs, log_spec),
             check_vma=False,
         )
@@ -119,11 +139,14 @@ def make_index_sharded_log_search(mesh: Mesh, di: DeviceIndex, cfg: LogConfig,
 
     occ_dev = jax.device_put(
         occ_pad, jax.sharding.NamedSharding(mesh, P("idx", None)))
+    nt_dev = jax.device_put(
+        nt_pad, jax.sharding.NamedSharding(mesh, P("idx", None)))
 
     def run(reads_T, carry):
         p = phases
         if p is None:
-            p = auto_phases(reads_T.shape[0], num_reads, cfg, narrow=False)
-        return build(tuple(p))(small, occ_dev, reads_T, carry)
+            p = auto_phases(reads_T.shape[0], num_reads, cfg,
+                            narrow=has_narrow)
+        return build(tuple(p))(small, occ_dev, nt_dev, reads_T, carry)
 
     return run

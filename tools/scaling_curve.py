@@ -59,11 +59,16 @@ GENOME = int(os.environ.get("SCALE_GENOME", "200000"))
 SITES = int(os.environ.get("SCALE_SITES", "1600"))
 K = int(os.environ.get("SCALE_KMER", "8"))
 REPS = int(os.environ.get("SCALE_REPS", "6"))
-OUT = os.environ.get("SCALE_OUT", "SCALING_r04.json")
+OUT = os.environ.get("SCALE_OUT", "SCALING_r05.json")
 # stated model parameter: per-chip ICI bandwidth for the ring
 # all-reduce (TPU v5e: 4 links x ~45GB/s usable each way; one ring
 # direction uses ~90GB/s aggregate -- public spec figure, not measured)
 ICI_BW = float(os.environ.get("SCALE_ICI_BW", "90e9"))
+ICI_LAT = float(os.environ.get("SCALE_ICI_LAT", "1e-6"))
+# DCN-class parameters for multi-host meshes (public order-of-magnitude
+# figures: ~25GB/s per host, ~50us per collective hop)
+DCN_BW = float(os.environ.get("SCALE_DCN_BW", "25e9"))
+DCN_LAT = float(os.environ.get("SCALE_DCN_LAT", "50e-6"))
 
 
 def _seed_carry(owner, s_lo, s_hi, n_dev, R_shard, pool0):
@@ -209,6 +214,12 @@ def main():
         run_rep = make_sharded_log_search(make_mesh(1), di, cfg_i, R_i,
                                           phases=phases_i)
         t_rep = _time_run(run_rep, reads_Ti, carry_i, REPS)
+        # the production (narrow + locked tail) plan: the tail collective
+        # moves ONE int32 per state instead of two 4-int occ rows
+        run_sh_n = make_index_sharded_log_search(mesh_i, di, cfg_i, R_i)
+        t_sh_n = _time_run(run_sh_n, reads_Ti, carry_i, REPS)
+        run_rep_n = make_sharded_log_search(make_mesh(1), di, cfg_i, R_i)
+        t_rep_n = _time_run(run_rep_n, reads_Ti, carry_i, REPS)
         n_steps = len_i - K
         # per step: two psum'd occ-row gathers of (2*pool + 2*hits*B, 4)
         B = di.n_outcomes
@@ -219,6 +230,9 @@ def main():
             "us_per_step_replicated_virtual": round(t_rep / n_steps * 1e6, 1),
             "us_per_step_sharded_virtual": round(t_sh / n_steps * 1e6, 1),
             "overhead_x_virtual": round(t_sh / t_rep, 2),
+            "overhead_x_virtual_narrow_plan": round(t_sh_n / t_rep_n, 2),
+            "us_per_step_sharded_narrow_virtual": round(
+                t_sh_n / n_steps * 1e6, 1),
             "psum_bytes_per_step": psum_bytes_step,
             "psum_model_us_per_step": round(
                 2 * psum_bytes_step * (n_idx - 1) / n_idx / ICI_BW * 1e6, 2),
@@ -228,6 +242,34 @@ def main():
                      "overhead, psum_model the ICI bytes cost"),
         }
         print(f"# sharded index: {sharded_idx}", file=sys.stderr)
+
+    # ---- M.tb-scale flush regime: where weak efficiency REALLY drops --
+    # The mapping phase has NO per-buffer collectives (selection is
+    # shard-invariant, per-base coverage accumulates in a device-local
+    # diff array), so per-buffer weak scaling is ~1.0 by construction.
+    # The real cross-device cost is the per-RUN coverage reduce: a flat
+    # ~4*4.4M-entry int32 diff array (M.tb per-base coverage) ring-
+    # all-reduced once at flush. Efficiency therefore depends on RUN
+    # LENGTH (buffers per shard) and the interconnect class: short runs
+    # on many hosts over DCN pay the reduce against little compute.
+    # T_buf_s: measured single-chip e2e per 20k-read buffer (BENCH r5).
+    t_buf = float(os.environ.get("SCALE_T_BUF_S", "0.55"))
+    mtb_cov_bytes = 4 * 4_600_000
+    flush_regime = []
+    for net, bw, lat in (("ici", ICI_BW, ICI_LAT), ("dcn", DCN_BW, DCN_LAT)):
+        for n_dev in (8, 64, 256):
+            for bufs in (1, 4, 16, 64):
+                t_red = (2 * mtb_cov_bytes * (n_dev - 1) / n_dev / bw
+                         + 2 * (n_dev - 1) * lat)
+                eff = (bufs * t_buf) / (bufs * t_buf + t_red)
+                flush_regime.append({
+                    "net": net, "devices": n_dev,
+                    "buffers_per_shard": bufs,
+                    "reduce_model_ms": round(t_red * 1e3, 2),
+                    "weak_efficiency": round(eff, 4)})
+    below = [r for r in flush_regime if r["weak_efficiency"] < 0.95]
+    print(f"# flush regime: {len(below)}/{len(flush_regime)} points "
+          f"below 0.95 (short DCN runs)", file=sys.stderr)
 
     result = {
         "workload": {"reads_per_device": READS_PER_DEVICE,
@@ -240,6 +282,13 @@ def main():
         "ici_bw_model_bytes_per_sec": ICI_BW,
         "curve": curve,
         "sharded_index": sharded_idx,
+        "flush_regime": flush_regime,
+        "flush_regime_note": (
+            "weak efficiency vs run length: mapping itself has no "
+            "per-buffer collectives, so the binding term is the per-run "
+            "coverage-diff all-reduce (flat M.tb per-base array); "
+            "points below 0.95 are short runs on DCN-class meshes -- "
+            "amortise by mapping >=4 buffers/shard per flush"),
         "note": ("per_shard_solo_sec is the shard program alone (= real "
                  "per-chip device time for the identical compiled "
                  "program); projected_weak_efficiency = solo / (solo + "
