@@ -832,7 +832,11 @@ def auto_phases(steps: int, num_reads: int, cfg: LogConfig,
     pool_mid = min(pool_warm, max(_round_up(3 * num_reads // 2, 64), 64))
     hits_mid = min(cfg.hits, max(cfg.hits // 4, 8))
     pool_tail = min(pool_mid, max(_round_up(5 * num_reads // 4, 64), 64))
-    hits_tail = min(hits_mid, max(cfg.hits // 8, 8))
+    # tail hit budget: the newborn block's gathers are Theta(hits*B)
+    # per step, so the divisor trades device time against overflow
+    # retries (measured tail hits ~1k/step at 41k rows)
+    tail_div = int(os.environ.get("GRAMTOOLS_TPU_TAIL_HITS_DIV", "8"))
+    hits_tail = min(hits_mid, max(cfg.hits // tail_div, 8))
     # narrow-step wide budget: sized to the per-step newborn volume (the
     # only states that re-widen mid-tail); repeats/dense graphs past the
     # budget flag -> same-shape retry -> exact host re-map
